@@ -1,0 +1,180 @@
+"""Application driver: config -> engine -> frames -> PNG "windows".
+
+The TPU-native analogue of the reference app layer (src/main.cpp:56-115
++ src/windows/): loads a properties file (same keys as the reference's
+executable/properties.txt), builds the scene and camera, steps the
+progressive-accumulation frame loop, and presents frames as PNG files —
+one per "window" (main YXZ section, plus the two additional YWZ/YXW
+sections when show_additional_windows is true, windows selected exactly
+like main.cpp:57-68).
+
+Interactive mode reads commands from stdin (the headless stand-in for
+mouse capture + WASD, controls.cpp:167-215):
+
+    w/s/a/d/space/c/e/q [seconds]   move (default 0.25 s)
+    look <dfi> <dte> [dpsi]         rotate (radians)
+    frames <n>                      render n frames (accumulating)
+    save [path]                     write current windows to PNG
+    stats                           print rays/s + fps counters
+    quit
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from fourd_ray_tracing_tpu import camera as cam
+from fourd_ray_tracing_tpu.engine import RenderEngine
+from fourd_ray_tracing_tpu.models import library
+from fourd_ray_tracing_tpu.models.renderer import RenderConfig
+from fourd_ray_tracing_tpu.ops.vec4 import Vec4
+from fourd_ray_tracing_tpu.utils.config import AppConfig
+from fourd_ray_tracing_tpu.utils.image import write_png
+from fourd_ray_tracing_tpu.utils.profiling import Meter
+
+KEYMAP = {
+    "w": cam.MoveKeys(forward=True),
+    "s": cam.MoveKeys(back=True),
+    "a": cam.MoveKeys(left=True),
+    "d": cam.MoveKeys(right=True),
+    "space": cam.MoveKeys(top=True),
+    "c": cam.MoveKeys(down=True),
+    "e": cam.MoveKeys(w_pos=True),
+    "q": cam.MoveKeys(w_neg=True),
+}
+
+
+def build_engine(app: AppConfig, deterministic: bool = False) -> RenderEngine:
+    """Engine from an AppConfig (initControls + initShader analogue)."""
+    scene = library.SCENES[app.scene]()
+    views = cam.VIEWS_ALL if app.show_additional_windows else ("yxz",)
+    win = app.main_window
+    cfg = RenderConfig(
+        width=win.cells_width,
+        height=win.cells_height,
+        samples=app.samples,
+        reflections_amount=app.reflections_amount,
+        small_indent=app.small_indent,
+        light_coefficient=app.light_to_color_conversion_coefficient,
+        rng_mode="per_sample",
+    )
+    c = app.camera
+    psi_constraint = None
+    if app.controls.constrain_psi_range:
+        psi_constraint = (
+            float(np.radians(c.psi_deg)),
+            float(np.radians(app.controls.psi_range_radius_deg)),
+        )
+    return RenderEngine(
+        scene,
+        cfg,
+        focus=Vec4.of(c.x, c.y, c.z, c.w),
+        angles=cam.CameraAngles(
+            np.float32(np.radians(c.fi_deg)),
+            np.float32(np.radians(c.te_deg)),
+            np.float32(np.radians(c.psi_deg)),
+        ),
+        focus_to_matrix_distance=c.focus_to_matrix_distance,
+        matrix_height=c.matrix_height,
+        views=views,
+        movement_speed=app.controls.movement_speed,
+        psi_constraint=psi_constraint,
+        deterministic=deterministic,
+    )
+
+
+def save_windows(engine: RenderEngine, out_dir: Path, tag: str = "") -> list:
+    """Write one PNG per view window (the display() analogue)."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    acc = np.asarray(engine.accum)
+    paths = []
+    if acc.ndim == 3:
+        acc = acc[None]
+    for view, img in zip(engine.views, acc):
+        p = out_dir / f"{view}{tag}.png"
+        write_png(p, img)
+        paths.append(p)
+    return paths
+
+
+def run_frames(engine: RenderEngine, meter: Meter, n: int, quiet=False):
+    for _ in range(n):
+        with meter.measure(engine.rays_per_frame()) as h:
+            h["result"] = engine.step_frame()
+    if not quiet:
+        print(meter.stats.as_json())
+
+
+def interactive_loop(engine: RenderEngine, out_dir: Path) -> None:
+    meter = Meter()
+    print("interactive; commands: w/s/a/d/space/c/e/q, look, frames, save, stats, quit")
+    for line in sys.stdin:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        cmd, *args = parts
+        if cmd == "quit":
+            break
+        elif cmd in KEYMAP:
+            seconds = float(args[0]) if args else 0.25
+            engine.move(KEYMAP[cmd], seconds)
+            run_frames(engine, meter, 1)
+        elif cmd == "look":
+            d_fi = float(args[0]) if len(args) > 0 else 0.0
+            d_te = float(args[1]) if len(args) > 1 else 0.0
+            d_psi = float(args[2]) if len(args) > 2 else 0.0
+            engine.rotate(d_fi=d_fi, d_te=d_te, d_psi=d_psi)
+            run_frames(engine, meter, 1)
+        elif cmd == "frames":
+            run_frames(engine, meter, int(args[0]) if args else 1)
+        elif cmd == "save":
+            target = Path(args[0]) if args else out_dir
+            for p in save_windows(engine, target):
+                print(f"wrote {p}")
+        elif cmd == "stats":
+            print(meter.stats.as_json())
+        else:
+            print(f"unknown command: {cmd}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config", default="configs/properties.txt")
+    ap.add_argument("--scene", default=None, help="override config scene key")
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--interactive", action="store_true")
+    ap.add_argument("--deterministic", action="store_true")
+    args = ap.parse_args(argv)
+
+    app = AppConfig.load(args.config)
+    if args.scene:
+        app = type(app)(**{**app.__dict__, "scene": args.scene})
+    engine = build_engine(app, deterministic=args.deterministic)
+    out_dir = Path(args.out)
+
+    print(
+        f"scene={app.scene} views={engine.views} "
+        f"res={engine.cfg.width}x{engine.cfg.height} spp={engine.cfg.samples} "
+        f"bounces={engine.cfg.reflections_amount} device={jax.devices()[0]}"
+    )
+    if args.interactive:
+        interactive_loop(engine, out_dir)
+        return 0
+
+    meter = Meter()
+    t0 = time.perf_counter()
+    run_frames(engine, meter, args.frames)
+    for p in save_windows(engine, out_dir):
+        print(f"wrote {p}")
+    print(f"total {time.perf_counter() - t0:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

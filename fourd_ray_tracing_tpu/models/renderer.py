@@ -1,0 +1,275 @@
+"""The forward path tracer: camera rays -> bounce loop -> tone map.
+
+This is the executable spec (SURVEY §4.1's "golden-image oracle") and at
+the same time the production differentiable forward: a pure jnp pipeline
+over SoA ray batches that runs on CPU (tests), TPU via jit/XLA fusion,
+and whose inner `trace_rays` is reused verbatim by the Pallas megakernel
+(ops/pallas/megakernel.py) on VMEM-resident tiles.
+
+Behavior contract (reference = shader.frag:471-528):
+
+* bounce loop runs reflections_amount+1 times; a miss adds
+  throughput * final_light and terminates the lane; bounce exhaustion
+  adds nothing (darkening = shadows);
+* emission adds color*glow*throughput BEFORE absorption multiplies
+  throughput by color;
+* next origin steps dist along the ray plus small_indent along the hit
+  normal;
+* per bounce one Bernoulli draw chooses mirror (u <= refl_prob) vs
+  diffuse; diffuse draws three more uniforms for the S^3 sampler;
+  terminated/mirror lanes do not advance their RNG counters, so lane
+  streams equal the reference's sequential call streams;
+* all samples of a pixel share one primary direction (no sub-pixel
+  jitter; ray_drct computed once, shader.frag:519), and the RNG counter
+  carries across the sample loop (rand_iter_seed is per-fragment state,
+  shader.frag:92);
+* screen convention: pixel (row i, col j) of an HxW image has
+  scr = ((j+.5)/W, (i+.5)/H) with row 0 at the TOP of the image, and
+  film coords mx = (scr.x-.5)*mtr_w, my = (.5-scr.y)*mtr_h
+  (shader.frag:502 with y measured from the top).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from fourd_ray_tracing_tpu.camera import Camera
+from fourd_ray_tracing_tpu.models.scene import Scene, intersect_scene
+from fourd_ray_tracing_tpu.ops import rng
+from fourd_ray_tracing_tpu.ops.sampler import direction_from_uniforms
+from fourd_ray_tracing_tpu.ops.sky import final_light, light_to_color
+from fourd_ray_tracing_tpu.ops.vec4 import Vec3, Vec4, normalize, redirect, reflect
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (the reference's static uniforms,
+    main.cpp:28-38 + window cell resolution)."""
+
+    width: int = 256
+    height: int = 256
+    samples: int = 1
+    reflections_amount: int = 4
+    small_indent: float = 0.005
+    light_coefficient: float = 1.0
+    sampler_method: str = "kepler"  # "kepler" (TPU-fast) or "newton" (reference-exact)
+    # RNG stream layout:
+    #  "sequential" — the reference's per-pixel counter carried across the
+    #    sample loop (shader.frag:92): bit-exact vs the oracle, but samples
+    #    of one pixel are sequentially dependent, so the sample axis cannot
+    #    shard across devices.
+    #  "per_sample" — each (pixel, sample) pair owns an independent stream
+    #    keyed by absolute sample index: statistically identical, and the
+    #    image is bit-identical for ANY sharding of pixels/samples
+    #    (SURVEY §4.6 determinism-across-devices requirement).
+    rng_mode: str = "sequential"
+    # Pallas megakernel bounce-loop structure: "fori" (lax.fori_loop,
+    # ~5x faster Mosaic compiles on heavy scenes) or "unroll" (fully
+    # unrolled bounces). Identical images; the jnp pipeline always uses
+    # the unrolled break-form (it must also support sequential RNG).
+    bounce_loop: str = "fori"
+
+
+def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):
+    """Normalized pixel-center coordinates, row 0 = top.
+
+    ``row0`` (traced or static) and ``n_rows`` (static) select a block of
+    image rows — the unit of pixel sharding and kernel tiling. The
+    normalization always uses the GLOBAL resolution, so a pixel's
+    coordinates (and hence its RNG stream, shader.frag:106-107) do not
+    depend on how the image was tiled.
+    """
+    if n_rows is None:
+        n_rows = cfg.height
+    j = jnp.arange(cfg.width, dtype=jnp.float32)
+    i = jnp.arange(n_rows, dtype=jnp.float32) + jnp.asarray(row0, jnp.float32)
+    scr_x = (j[None, :] + 0.5) / jnp.float32(cfg.width)
+    scr_y = (i[:, None] + 0.5) / jnp.float32(cfg.height)
+    scr_x = jnp.broadcast_to(scr_x, (n_rows, cfg.width))
+    scr_y = jnp.broadcast_to(scr_y, (n_rows, cfg.width))
+    return scr_x, scr_y
+
+
+def _expand_cam_vec(v: Vec4, target_ndim: int) -> Vec4:
+    """Right-pad camera vector components with singleton axes so a
+    (V,)-batched basis broadcasts against (V, H, W) pixel grids."""
+
+    def expand(c):
+        c = jnp.asarray(c, jnp.float32)
+        while c.ndim < target_ndim:
+            c = c[..., None]
+        return c
+
+    return Vec4(expand(v.x), expand(v.y), expand(v.z), expand(v.w))
+
+
+def primary_directions(camera: Camera, scr_x, scr_y) -> Vec4:
+    """ray_drct (shader.frag:501-505): normalize(vec_to_mtr + top*my + right*mx)."""
+    view_batched = jnp.asarray(camera.top.x).ndim > 0
+    target = scr_x.ndim + (1 if view_batched else 0)
+    top = _expand_cam_vec(camera.top, target)
+    right = _expand_cam_vec(camera.right, target)
+    vec_to_mtr = _expand_cam_vec(camera.vec_to_mtr, target)
+    mx = (scr_x - 0.5) * camera.mtr_width
+    my = (0.5 - scr_y) * camera.mtr_height
+    return normalize(vec_to_mtr + top * my + right * mx)
+
+
+def trace_rays(
+    scene: Scene,
+    ray_o: Vec4,
+    ray_d: Vec4,
+    pixel_bits: jnp.ndarray,
+    seed: jnp.ndarray,
+    counter: jnp.ndarray,
+    cfg: RenderConfig,
+):
+    """One sample per lane: the trace() loop (shader.frag:471-495).
+
+    Returns (light: Vec3, advanced counter). Masked-lane form of the
+    scalar reference loop; RNG counters advance only where the scalar
+    code would call rand().
+    """
+    o, d = ray_o, ray_d
+    # (plain zeros, not an astype of pixel_bits: Mosaic has no u32->f32 cast)
+    result = Vec3.full(0.0, like=jnp.zeros(pixel_bits.shape, jnp.float32))
+    throughput = Vec3.full(1.0, like=result.x)
+    # all-true as a computed compare (Mosaic lacks i1 vector constants)
+    alive = jnp.zeros(pixel_bits.shape, jnp.float32) < 1.0
+
+    for bounce in range(cfg.reflections_amount + 1):
+        inter = intersect_scene(scene, o, d)
+
+        escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
+        env = final_light(scene.environment, d)
+        add_env = (throughput * env).where(escaped, Vec3.full(0.0, like=result.x))
+        result = result + add_env
+
+        alive = jnp.logical_and(alive, inter.hit)
+
+        glow_add = (inter.color * inter.glow * throughput).where(
+            alive, Vec3.full(0.0, like=result.x)
+        )
+        result = result + glow_add
+        throughput = (throughput * inter.color).where(alive, throughput)
+
+        new_o = o + d * inter.dist + inter.norm * jnp.float32(cfg.small_indent)
+        o = new_o.where(alive, o)
+
+        if bounce == cfg.reflections_amount:
+            break  # final iteration's direction is never used (shader.frag:474)
+
+        u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
+        mirror = u_refl <= inter.refl_prob
+
+        diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
+        u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        rand_dir = direction_from_uniforms(
+            u_w, u_z, u_fi, method=cfg.sampler_method
+        )
+
+        mirrored = reflect(d, inter.norm)
+        scattered = redirect(rand_dir, inter.norm)
+        new_d = mirrored.where(mirror, scattered)
+        d = new_d.where(alive, d)
+
+    return result, counter
+
+
+def sample_stream_bits(pixel_bits: jnp.ndarray, sample_index) -> jnp.ndarray:
+    """Independent per-(pixel, sample) stream key for rng_mode="per_sample"."""
+    fold = rng.hash_u32(
+        (jnp.asarray(sample_index, jnp.uint32) + jnp.uint32(1)) * jnp.uint32(0x9E3779B9)
+    )
+    return pixel_bits ^ fold
+
+
+def render_light_tile(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    seed,
+    row0=0,
+    n_rows: int | None = None,
+    sample0=0,
+    n_samples: int | None = None,
+) -> jnp.ndarray:
+    """Light for a block of image rows and a block of samples.
+
+    The tiling unit for both device sharding (parallel/mesh.py) and the
+    Pallas grid. Row/sample offsets are absolute, so any partition of
+    (rows x samples) over devices reassembles into the same image
+    (requires rng_mode="per_sample" when the sample axis is split).
+    Returns (..., n_rows, W, 3) light SUMMED over the local samples
+    (caller divides by the GLOBAL sample count).
+    """
+    if n_rows is None:
+        n_rows = cfg.height
+    if n_samples is None:
+        n_samples = cfg.samples
+    seed = jnp.asarray(seed, jnp.uint32)
+    scr_x, scr_y = screen_coords(cfg, row0, n_rows)
+    d = primary_directions(camera, scr_x, scr_y)
+    pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
+    pixel_bits = jnp.broadcast_to(pixel_bits, d.x.shape)
+    o = _expand_cam_vec(camera.focus, d.x.ndim)
+    o = Vec4(*(jnp.broadcast_to(c, d.x.shape) for c in o))
+
+    counter0 = rng.init_counter(seed, pixel_bits.shape)
+    zero3 = Vec3.full(0.0, like=jnp.zeros(d.x.shape, jnp.float32))
+
+    if cfg.rng_mode == "per_sample":
+        sample0 = jnp.asarray(sample0, jnp.uint32)
+
+        def sample_body(s, state):
+            acc, counter = state
+            bits = sample_stream_bits(pixel_bits, sample0 + jnp.uint32(s))
+            light, _ = trace_rays(scene, o, d, bits, seed, counter0, cfg)
+            return acc + light, counter
+
+    else:
+        if not (isinstance(sample0, int) and sample0 == 0):
+            raise ValueError(
+                'rng_mode="sequential" carries RNG state across samples and '
+                'cannot start mid-stream; use rng_mode="per_sample" to shard '
+                "the sample axis."
+            )
+
+        def sample_body(s, state):
+            acc, counter = state
+            light, counter = trace_rays(scene, o, d, pixel_bits, seed, counter, cfg)
+            return acc + light, counter
+
+    acc, _ = jax.lax.fori_loop(0, n_samples, sample_body, (zero3, counter0))
+    return acc.stack(axis=-1)
+
+
+def render_light(scene: Scene, camera: Camera, cfg: RenderConfig, seed) -> jnp.ndarray:
+    """Average light over the sample loop (shader.frag:520-522).
+
+    Returns a float32 array (..., H, W, 3) of un-tonemapped light; a
+    leading view axis appears iff the camera basis is view-batched.
+    """
+    acc = render_light_tile(scene, camera, cfg, seed)
+    return acc * (1.0 / jnp.float32(cfg.samples))
+
+
+def render_image(scene: Scene, camera: Camera, cfg: RenderConfig, seed) -> jnp.ndarray:
+    """Tone-mapped color image in [0, 1), shape (..., H, W, 3)."""
+    light = render_light(scene, camera, cfg, seed)
+    color = light_to_color(
+        Vec3(light[..., 0], light[..., 1], light[..., 2]),
+        jnp.float32(cfg.light_coefficient),
+    )
+    return color.stack(axis=-1)
+
+
+def accumulate(old_frame: jnp.ndarray, new_frame: jnp.ndarray, part) -> jnp.ndarray:
+    """Progressive blend mix(old, new, part) (shader.frag:526-527);
+    part = 1/frame_number while the camera is still (main.cpp:87)."""
+    part = jnp.asarray(part, jnp.float32)
+    return old_frame + (new_frame - old_frame) * part

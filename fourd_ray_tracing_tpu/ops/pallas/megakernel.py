@@ -1,0 +1,276 @@
+"""Pallas TPU megakernel: the whole path tracer in one VMEM-resident pass.
+
+The reference's render kernel is one fragment shader invocation per pixel
+(shader.frag:513-528, launched at windows.cpp:45). The TPU-native
+equivalent is one Pallas program per (8, 128) pixel tile: primary-ray
+generation, the unrolled bounce loop with all primitive intersections,
+the counter RNG and the fixed-iteration S^3 sampler all run on VPU
+registers/VMEM for the tile — no HBM traffic between bounces, which is
+what the XLA-fused jnp pipeline (models/renderer.py) cannot fully
+guarantee across its sample `fori_loop`.
+
+Design:
+
+* The kernel REUSES the shared math: `trace_rays` (models/renderer.py),
+  the geometry ops, the RNG and the Kepler sampler are shape-polymorphic
+  pure-jnp functions, so they trace straight into the Mosaic kernel.
+  One implementation, two compilation targets — jnp/XLA (oracle, autodiff)
+  and Pallas (production forward).
+* Scene + camera enter as ONE packed (N,) float32 array in SMEM; the
+  static pytree structure is closed over, so inside the kernel the packed
+  scalars are re-assembled into the same Scene/Camera pytrees the jnp
+  renderer consumes. (Scene shape changes recompile — the analogue of the
+  reference's scene-swap shader recompile, SURVEY §3.5.)
+* Pixels are flattened over (view, y, x) and tiled 8x128 = 1024 per
+  program; the grid is (num_tiles,). Out-of-range lanes (image tail) are
+  clamped to pixel 0 and the caller slices them away.
+* RNG streams are keyed by absolute pixel index and absolute sample
+  index (rng_mode="per_sample"), so kernel tiling — like device sharding
+  — never changes the image (SURVEY §4.6).
+
+Differentiation: the megakernel is the forward/production path; gradient
+work (inverse rendering) runs through the identical-math jnp pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fourd_ray_tracing_tpu.camera import Camera
+from fourd_ray_tracing_tpu.models.renderer import (
+    RenderConfig,
+    sample_stream_bits,
+    trace_rays,
+)
+from fourd_ray_tracing_tpu.models.scene import Scene, intersect_scene
+from fourd_ray_tracing_tpu.ops import rng
+from fourd_ray_tracing_tpu.ops.sampler import direction_from_uniforms
+from fourd_ray_tracing_tpu.ops.sky import final_light, light_to_color
+from fourd_ray_tracing_tpu.ops.vec4 import (
+    Vec3,
+    Vec4,
+    normalize,
+    redirect,
+    reflect,
+)
+
+SUBLANES = 8
+LANES = 128
+TILE = SUBLANES * LANES  # pixels per program
+
+
+def _pack_pytree(tree):
+    """Flatten a pytree of small f32 arrays into one (N,) array + a
+    rebuild function (treedef and per-leaf shapes are static).
+
+    Scalar leaves rebuild as SMEM scalar reads; non-scalar leaves (e.g. a
+    view-batched camera basis of shape (3,)) rebuild by stacking their
+    scalars — all static indexing, so Mosaic folds it away.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    packed = jnp.concatenate([l.reshape(-1) for l in leaves])
+
+    def rebuild(params_ref):
+        vals = []
+        for shape, size, off in zip(shapes, sizes, offsets[:-1]):
+            if shape == ():
+                vals.append(params_ref[off])
+            else:
+                flat = jnp.stack([params_ref[off + k] for k in range(size)])
+                vals.append(flat.reshape(shape))
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    return packed, rebuild
+
+
+def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg):
+    """trace() as a lax.fori_loop — one bounce-body compilation instead
+    of reflections_amount+1 copies, which cuts Mosaic compile time ~5x on
+    heavy scenes (the tiger's 8-face intersect makes unrolled kernels
+    minutes-slow to compile).
+
+    Identical math/op-order to renderer.trace_rays, so the image is
+    bit-identical; the only difference is that the direction sampler also
+    runs on the final iteration with its output unused (legal exactly
+    because per-sample RNG streams reset each sample — the jnp renderer
+    keeps the break form to support sequential streams too).
+    """
+    zero3 = Vec3.full(0.0, like=jnp.zeros(pixel_bits.shape, jnp.float32))
+
+    def body(_, state):
+        # alive crosses the loop as f32 (Mosaic can't carry i1 vectors
+        # through scf.for) and is re-derived as a mask each iteration.
+        o, d, result, throughput, alive_f, counter = state
+        alive = alive_f > 0.5
+        inter = intersect_scene(scene, o, d)
+
+        escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
+        env = final_light(scene.environment, d)
+        result = result + (throughput * env).where(escaped, zero3)
+
+        alive = jnp.logical_and(alive, inter.hit)
+        result = result + (inter.color * inter.glow * throughput).where(alive, zero3)
+        throughput = (throughput * inter.color).where(alive, throughput)
+
+        new_o = o + d * inter.dist + inter.norm * jnp.float32(cfg.small_indent)
+        o = new_o.where(alive, o)
+
+        u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
+        mirror = u_refl <= inter.refl_prob
+        diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
+        u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        rand_dir = direction_from_uniforms(u_w, u_z, u_fi, method=cfg.sampler_method)
+
+        mirrored = reflect(d, inter.norm)
+        scattered = redirect(rand_dir, inter.norm)
+        d = mirrored.where(mirror, scattered).where(alive, d)
+        return o, d, result, throughput, jnp.where(alive, 1.0, 0.0), counter
+
+    ones = jnp.ones(pixel_bits.shape, jnp.float32)
+    state = (ray_o, ray_d, zero3, Vec3.full(1.0, like=zero3.x), ones, counter)
+    state = jax.lax.fori_loop(0, cfg.reflections_amount + 1, body, state)
+    return state[2], state[5]
+
+
+def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
+            n_views: int, height: int, width: int):
+    scene, camera = rebuild(params_ref)
+    seed = seed_ref[0].astype(jnp.uint32)
+
+    pid = pl.program_id(0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    lin = pid * TILE + sub * LANES + lane
+    total = n_views * height * width
+    lin = jnp.minimum(lin, total - 1)  # clamp padded tail to pixel 0's view
+
+    view = lin // (height * width)
+    rem = lin - view * (height * width)
+    py = rem // width
+    px = rem - py * width
+
+    # Normalized screen coords, row 0 = top (shader.frag:515-516).
+    scr_x = (px.astype(jnp.float32) + 0.5) / jnp.float32(width)
+    scr_y = (py.astype(jnp.float32) + 0.5) / jnp.float32(height)
+
+    # Per-view basis select (three_window_group.cpp:42-46): camera.top /
+    # camera.right may carry a leading view axis of static length n_views.
+    tile_zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+
+    def view_component(c):
+        # scalar + zeros instead of broadcast_to: Mosaic rejects a raw
+        # scalar->vector broadcast of an SMEM-read value.
+        c = jnp.asarray(c, jnp.float32)
+        if c.ndim == 0:
+            return tile_zero + c
+        if n_views == 1:
+            return tile_zero + c[0]
+        out = tile_zero + c[0]
+        for v in range(1, n_views):
+            out = jnp.where(view == v, tile_zero + c[v], out)
+        return out
+
+    top = Vec4(*(view_component(c) for c in camera.top))
+    right = Vec4(*(view_component(c) for c in camera.right))
+    vec_to_mtr = Vec4(*(view_component(c) for c in camera.vec_to_mtr))
+    focus = Vec4(*(view_component(c) for c in camera.focus))
+
+    mx = (scr_x - 0.5) * camera.mtr_width
+    my = (0.5 - scr_y) * camera.mtr_height
+    d = normalize(vec_to_mtr + top * my + right * mx)
+
+    pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
+    counter0 = rng.init_counter(seed, pixel_bits.shape)
+    zero3 = Vec3.full(0.0, like=scr_x * 0.0)
+
+    trace = _trace_rays_fori if cfg.bounce_loop == "fori" else trace_rays
+
+    def sample_body(s, acc):
+        bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
+        light, _ = trace(scene, focus, d, bits, seed, counter0, cfg)
+        return acc + light
+
+    acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)
+    inv = 1.0 / jnp.float32(cfg.samples)
+    out_ref[0, 0] = acc.x * inv
+    out_ref[0, 1] = acc.y * inv
+    out_ref[0, 2] = acc.z * inv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_light_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Sample-averaged light, shape (H, W, 3) or (V, H, W, 3).
+
+    Equal to models.renderer.render_light with rng_mode="per_sample" up
+    to float re-association (same math, same RNG streams, same sampler;
+    bitwise-equal in practice on TPU).
+
+    ``interpret`` runs the kernel in the Pallas interpreter (defaults to
+    True off-TPU so tests cover the kernel on the CPU mesh).
+    """
+    if cfg.rng_mode != "per_sample":
+        raise ValueError("the Pallas megakernel renders per-sample RNG streams")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+
+    total = n_views * height * width
+    n_tiles = pl.cdiv(total, TILE)
+
+    kernel = functools.partial(
+        _kernel, rebuild=rebuild, cfg=cfg,
+        n_views=n_views, height=height, width=width,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, SUBLANES, LANES),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, SUBLANES, LANES), jnp.float32),
+        interpret=interpret,
+    )(packed, seed_arr)
+
+    # (tiles, 3, 8, 128) -> (pixels, 3) -> image
+    flat = out.transpose(0, 2, 3, 1).reshape(n_tiles * TILE, 3)[:total]
+    if n_views == 1:
+        return flat.reshape(height, width, 3)
+    return flat.reshape(n_views, height, width, 3)
+
+
+def render_image_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed
+) -> jnp.ndarray:
+    """Tone-mapped image via the megakernel (shader.frag:522-527)."""
+    light = render_light_pallas(scene, camera, cfg, seed)
+    color = light_to_color(
+        Vec3(light[..., 0], light[..., 1], light[..., 2]),
+        jnp.float32(cfg.light_coefficient),
+    )
+    return color.stack(axis=-1)

@@ -1,0 +1,151 @@
+"""Device-mesh sharding of the renderer (SURVEY §2.4 build targets).
+
+The parallel axes of a path tracer (the transformer DP/SP analogues):
+
+* ``rays``  — image rows shard across devices (embarrassingly parallel,
+  no communication in the forward pass);
+* ``samples`` — samples-per-pixel shard across devices; the per-pixel
+  mean is a `psum` over this axis (the only forward collective, riding
+  ICI).
+
+Scene parameters and camera are replicated. Gradients w.r.t. the scene
+flow back through `shard_map`: the psum/replication duality means XLA
+inserts the gradient all-reduce over ICI automatically, overlapped with
+the rest of the backward — exactly the "psum grads over ICI" design of
+SURVEY §7.
+
+Multi-host: `initialize_distributed` wraps jax.distributed.initialize;
+the same mesh code then spans all hosts' devices (DCN between hosts, ICI
+within a slice). Everything here is testable on a CPU mesh via
+``--xla_force_host_platform_device_count=8`` (tests/test_sharding.py).
+
+Determinism: the RNG streams are keyed by absolute pixel coordinate and
+absolute sample index (rng_mode="per_sample"), so the rendered image is
+bit-identical for ANY device count — mirroring how the reference keys
+its RNG by scr_coord (shader.frag:106-107), per SURVEY §4.6.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fourd_ray_tracing_tpu.camera import Camera
+from fourd_ray_tracing_tpu.models.renderer import (
+    RenderConfig,
+    render_light_tile,
+)
+from fourd_ray_tracing_tpu.models.scene import Scene
+from fourd_ray_tracing_tpu.ops.sky import light_to_color
+from fourd_ray_tracing_tpu.ops.vec4 import Vec3
+
+RAYS_AXIS = "rays"
+SAMPLES_AXIS = "samples"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (jax.distributed.initialize), no-op if single-host
+    env vars are absent. DCN coordinates hosts; ICI carries collectives
+    within a slice."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(
+    rays: Optional[int] = None,
+    samples: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (rays, samples) mesh over all devices by default."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if rays is None:
+        rays = n // samples
+    if rays * samples != n:
+        raise ValueError(f"mesh {rays}x{samples} != {n} devices")
+    return Mesh(devices.reshape(rays, samples), (RAYS_AXIS, SAMPLES_AXIS))
+
+
+def _validate(cfg: RenderConfig, n_rays: int, n_samples: int) -> None:
+    if cfg.height % n_rays != 0:
+        raise ValueError(f"height {cfg.height} not divisible by rays axis {n_rays}")
+    if cfg.samples % n_samples != 0:
+        raise ValueError(
+            f"samples {cfg.samples} not divisible by samples axis {n_samples}"
+        )
+    if n_samples > 1 and cfg.rng_mode != "per_sample":
+        raise ValueError(
+            'sharding the sample axis requires rng_mode="per_sample" '
+            "(sequential streams cannot start mid-stream)"
+        )
+
+
+def sharded_render_light(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, mesh: Mesh
+) -> jnp.ndarray:
+    """Render the full image over the mesh; returns replicated-over-samples,
+    row-sharded global light (..., H, W, 3), already sample-averaged."""
+    n_rays = mesh.shape[RAYS_AXIS]
+    n_samples = mesh.shape[SAMPLES_AXIS]
+    _validate(cfg, n_rays, n_samples)
+    rows_local = cfg.height // n_rays
+    samples_local = cfg.samples // n_samples
+
+    def local(scene, camera, seed):
+        r = jax.lax.axis_index(RAYS_AXIS)
+        s = jax.lax.axis_index(SAMPLES_AXIS)
+        acc = render_light_tile(
+            scene,
+            camera,
+            cfg,
+            seed,
+            row0=r * rows_local,
+            n_rows=rows_local,
+            sample0=s * samples_local,
+            n_samples=samples_local,
+        )
+        # The single forward collective: per-pixel sample sum over ICI.
+        total = jax.lax.psum(acc, SAMPLES_AXIS)
+        return total * (1.0 / jnp.float32(cfg.samples))
+
+    view_batched = jnp.asarray(camera.top.x).ndim > 0
+    out_spec = P(None, RAYS_AXIS) if view_batched else P(RAYS_AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),   # scene/camera/seed replicated
+        out_specs=out_spec,         # rows sharded, samples-replicated
+        # The sample fori_loop carries a replicated RNG counter next to a
+        # device-varying accumulator; skip the static vma check (the psum
+        # above establishes the replication we claim in out_specs).
+        check_vma=False,
+    )(scene, camera, jnp.asarray(seed, jnp.uint32))
+
+
+def sharded_render_image(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, mesh: Mesh
+) -> jnp.ndarray:
+    light = sharded_render_light(scene, camera, cfg, seed, mesh)
+    color = light_to_color(
+        Vec3(light[..., 0], light[..., 1], light[..., 2]),
+        jnp.float32(cfg.light_coefficient),
+    )
+    return color.stack(axis=-1)
+
+
+def jit_sharded_renderer(cfg: RenderConfig, mesh: Mesh, tonemap: bool = True):
+    """jit-compiled sharded renderer: (scene, camera, seed) -> image."""
+    fn = sharded_render_image if tonemap else sharded_render_light
+
+    @partial(jax.jit, static_argnames=())
+    def run(scene, camera, seed):
+        return fn(scene, camera, cfg, seed, mesh)
+
+    return run

@@ -1,0 +1,88 @@
+"""Engine / frame-loop semantics tests (C2: main.cpp:79-106)."""
+import numpy as np
+import jax.numpy as jnp
+
+from fourd_ray_tracing_tpu import camera as cam
+from fourd_ray_tracing_tpu.engine import RenderEngine
+from fourd_ray_tracing_tpu.models import library
+from fourd_ray_tracing_tpu.models.renderer import RenderConfig
+from fourd_ray_tracing_tpu.ops.vec4 import Vec4
+
+
+def make_engine(**kw):
+    return RenderEngine(
+        library.sphere_plane_light(),
+        RenderConfig(width=32, height=20, samples=1, reflections_amount=2),
+        focus=Vec4.of(0, -2, 0, 0),
+        angles=cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        deterministic=True,
+        **kw,
+    )
+
+
+def test_accumulation_reduces_noise():
+    eng = make_engine()
+    eng.step_frame()
+    f1 = np.asarray(eng.accum)
+    acc = np.asarray(eng.run(15))
+    # Accumulated frame should differ from frame 1 (it averaged noise).
+    assert np.abs(acc - f1).max() > 1e-4
+    assert np.isfinite(acc).all()
+    # Variance of accumulated image vs a single frame, against an
+    # independent single frame: accumulation = running mean.
+    eng2 = make_engine()
+    eng2.step_frame()
+    f_other = np.asarray(eng2.accum)
+    # noise between two 16-frame averages < noise between two 1-frame images
+    eng3 = make_engine()
+    acc3 = np.asarray(eng3.run(16))
+    assert np.abs(acc - acc3).mean() <= np.abs(f1 - f_other).mean() + 1e-5
+
+
+def test_camera_motion_resets_accumulation():
+    eng = make_engine()
+    eng.run(5)
+    assert eng.frame_number == 6
+    eng.rotate(d_fi=0.01)
+    assert eng.frame_number == 1
+    eng.run(2)
+    assert eng.frame_number == 3
+    eng.move(cam.MoveKeys(forward=True), 0.1)
+    assert eng.frame_number == 1
+    eng.move(cam.MoveKeys(), 0.1)  # no keys held -> no reset
+    assert eng.frame_number == 1
+
+
+def test_first_frame_equals_plain_render():
+    # part = 1/1 on the first frame: accumulation == fresh render.
+    eng = make_engine()
+    out = np.asarray(eng.step_frame())
+    from fourd_ray_tracing_tpu.models.renderer import render_image
+
+    direct = np.asarray(
+        render_image(eng.scene, eng._camera(), eng.cfg, np.uint32(eng.seed))
+    )
+    # jit fuses the blend into the render; ulp-level compile differences
+    # may flip discrete path outcomes on a few silhouette pixels.
+    from helpers import assert_images_close
+
+    assert_images_close(out, direct, atol=1e-5, boundary_frac=0.05)
+
+
+def test_three_view_engine_shapes():
+    eng = RenderEngine(
+        library.tiger(),
+        RenderConfig(width=16, height=12, samples=1, reflections_amount=1),
+        focus=Vec4.of(0, -2, 0, 0),
+        angles=cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        views=cam.VIEWS_ALL,
+        deterministic=True,
+    )
+    out = np.asarray(eng.step_frame())
+    assert out.shape == (3, 12, 16, 3)
+
+
+def test_psi_constraint_clamps():
+    eng = make_engine(psi_constraint=(0.0, np.float32(np.radians(45))))
+    eng.rotate(d_psi=10.0)
+    assert abs(float(eng.angles.psi)) <= np.radians(45) + 1e-5

@@ -1,0 +1,141 @@
+"""End-to-end oracle renderer tests (SURVEY §4.1, §4.6)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fourd_ray_tracing_tpu import camera as cam
+from fourd_ray_tracing_tpu.models import library
+from fourd_ray_tracing_tpu.models.renderer import (
+    RenderConfig,
+    accumulate,
+    render_image,
+    render_light,
+)
+from fourd_ray_tracing_tpu.ops.vec4 import Vec4
+
+CFG = RenderConfig(width=64, height=40, samples=2, reflections_amount=3)
+
+
+def default_camera(view="yxz"):
+    return cam.camera_from_state(
+        Vec4.of(0.0, -2.0, 0.0, 0.0),
+        cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        focus_to_matrix_distance=1.5,
+        matrix_height=2.0,
+        view=view,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(library.SCENES))
+def test_scene_renders_finite_and_in_range(name):
+    scene = library.SCENES[name]()
+    img = np.asarray(render_image(scene, default_camera(), CFG, seed=1234))
+    assert img.shape == (CFG.height, CFG.width, 3)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all() and (img <= 1).all()
+    assert img.std() > 0.01  # not a constant image
+
+
+def test_deterministic_across_runs():
+    scene = library.sphere_plane_light()
+    a = np.asarray(render_image(scene, default_camera(), CFG, seed=99))
+    b = np.asarray(render_image(scene, default_camera(), CFG, seed=99))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_seed_changes_noise():
+    scene = library.sphere_plane_light()
+    a = np.asarray(render_image(scene, default_camera(), CFG, seed=1))
+    b = np.asarray(render_image(scene, default_camera(), CFG, seed=2))
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_jit_matches_eager():
+    scene = library.tiger()
+    camera = default_camera()
+    eager = np.asarray(render_image(scene, camera, CFG, seed=5))
+    jitted = np.asarray(
+        jax.jit(lambda s, c, seed: render_image(s, c, CFG, seed))(scene, camera, 5)
+    )
+    from helpers import assert_images_close
+
+    # At 32x16 the tiger's silhouettes cover a sizeable pixel fraction,
+    # so allow 10% boundary flips between the two compilations.
+    assert_images_close(eager, jitted, atol=1e-5, boundary_frac=0.10)
+
+
+def test_view_batching_matches_individual_views():
+    """One batched launch == three sequential draws (SURVEY §2.4)."""
+    scene = library.duocylinder()
+    angles = cam.CameraAngles(jnp.float32(0.2), jnp.float32(0.1), jnp.float32(0.3))
+    orient = cam.orientation_from_angles(angles.fi, angles.te, angles.psi)
+    tops, rights = cam.batched_view_bases(orient)
+    focus = Vec4.of(0.0, -2.0, 0.0, 0.0)
+    batched_cam = cam.Camera(
+        focus=focus,
+        vec_to_mtr=orient.forward * jnp.float32(1.5),
+        top=tops,
+        right=rights,
+        mtr_width=jnp.float32(2.0 * cam.GOLDEN),
+        mtr_height=jnp.float32(2.0),
+    )
+    batched = np.asarray(render_image(scene, batched_cam, CFG, seed=7))
+    assert batched.shape == (3, CFG.height, CFG.width, 3)
+    for i, view in enumerate(cam.VIEWS_ALL):
+        single = np.asarray(
+            render_image(
+                scene,
+                cam.camera_from_state(focus, angles, 1.5, 2.0, view=view),
+                CFG,
+                seed=7,
+            )
+        )
+        np.testing.assert_allclose(batched[i], single, atol=1e-6)
+
+
+def test_newton_and_kepler_images_close():
+    scene = library.room_with_sphere()
+    cfg_k = RenderConfig(width=48, height=32, samples=4, reflections_amount=3,
+                         sampler_method="kepler")
+    cfg_n = RenderConfig(width=48, height=32, samples=4, reflections_amount=3,
+                         sampler_method="newton")
+    a = np.asarray(render_image(scene, default_camera(), cfg_k, seed=3))
+    b = np.asarray(render_image(scene, default_camera(), cfg_n, seed=3))
+    # same RNG stream, same inverse-CDF map -> same trajectories; only
+    # sub-1e-3 w differences perturb directions.
+    assert np.median(np.abs(a - b)) < 1e-3
+    assert (np.abs(a - b) < 0.05).mean() > 0.99
+
+
+def test_glow_sphere_is_bright():
+    scene = library.sphere_plane_light()
+    img = np.asarray(
+        render_image(
+            scene, default_camera(), RenderConfig(width=64, height=40, samples=1,
+                                                  reflections_amount=0), seed=0
+        )
+    )
+    # The lamp sphere (glow 90) sits right of center: its pixels ~ 1.0.
+    right_half = img[:, img.shape[1] // 2:, :]
+    assert right_half.max() > 0.95
+
+
+def test_reflections_increase_light_room():
+    # In the closed room the only light is the lamp; more bounces = more
+    # paths that reach it (monotone in expectation).
+    scene = library.room_with_sphere()
+    lights = []
+    for r in (0, 2, 4):
+        cfg = RenderConfig(width=32, height=24, samples=8, reflections_amount=r)
+        light = np.asarray(render_light(scene, default_camera(), cfg, seed=42))
+        lights.append(light.mean())
+    assert lights[0] <= lights[1] <= lights[2]
+
+
+def test_accumulate_running_mean():
+    frames = [np.full((4, 4, 3), v, np.float32) for v in (1.0, 2.0, 3.0)]
+    acc = jnp.zeros((4, 4, 3))
+    for n, f in enumerate(frames, start=1):
+        acc = accumulate(acc, jnp.asarray(f), 1.0 / n)
+    np.testing.assert_allclose(np.asarray(acc), 2.0, atol=1e-6)
