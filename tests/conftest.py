@@ -23,6 +23,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is almost entirely XLA
+# compiles (2-CPU host); caching them makes re-runs near-instant.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
