@@ -37,6 +37,9 @@ SCENE = os.environ.get("BENCH_SCENE", "room_with_sphere")
 IMPL = os.environ.get("BENCH_IMPL", "pallas")
 # "unroll" (fastest steady-state) or "fori" (fastest compile)
 LOOP = os.environ.get("BENCH_LOOP", "unroll")
+TILE_SUBLANES = int(os.environ.get("BENCH_TILE_SUBLANES", 32))
+SAMPLER = os.environ.get("BENCH_SAMPLER", "kepler")
+SAMPLER_ITERS = int(os.environ.get("BENCH_SAMPLER_ITERS", 2))
 TARGET_RAYS_PER_S = 1e9  # north-star: >= 1 Gray/s per chip
 
 
@@ -47,9 +50,11 @@ def make_renderer():
         samples=SAMPLES,
         reflections_amount=BOUNCES,
         light_coefficient=0.12,
-        sampler_method="kepler",
+        sampler_method=SAMPLER,
         rng_mode="per_sample",
         bounce_loop=LOOP,
+        tile_sublanes=TILE_SUBLANES,
+        sampler_iters=SAMPLER_ITERS,
     )
     scene = library.SCENES[SCENE]()
     camera = cam.camera_from_state(

@@ -55,6 +55,9 @@ class RenderConfig:
     small_indent: float = 0.005
     light_coefficient: float = 1.0
     sampler_method: str = "kepler"  # "kepler" (TPU-fast) or "newton" (reference-exact)
+    # Halley iterations for the Kepler inverse-CDF; 2 already reaches the
+    # float32 rounding floor (~1e-5, see ops/sampler.py).
+    sampler_iters: int = 2
     # RNG stream layout:
     #  "sequential" — the reference's per-pixel counter carried across the
     #    sample loop (shader.frag:92): bit-exact vs the oracle, but samples
@@ -70,6 +73,12 @@ class RenderConfig:
     # unrolled bounces). Identical images; the jnp pipeline always uses
     # the unrolled break-form (it must also support sequential RNG).
     bounce_loop: str = "fori"
+    # Pallas tile height in sublanes (tile = tile_sublanes x 128 pixels).
+    # Larger tiles amortize per-program overhead (scene unpack from SMEM,
+    # grid bookkeeping) over more pixels at the cost of VMEM registers;
+    # 32 measured fastest on TPU v5e (bench.py sweep: 8->337, 16->488,
+    # 32->526, 64->495 Mray/s on room-with-sphere 1280x720x8sppx4b).
+    tile_sublanes: int = 32
 
 
 def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):
@@ -169,7 +178,8 @@ def trace_rays(
         u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
         u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
         rand_dir = direction_from_uniforms(
-            u_w, u_z, u_fi, method=cfg.sampler_method
+            u_w, u_z, u_fi, method=cfg.sampler_method,
+            kepler_iters=cfg.sampler_iters,
         )
 
         mirrored = reflect(d, inter.norm)

@@ -60,9 +60,8 @@ from fourd_ray_tracing_tpu.ops.vec4 import (
     reflect,
 )
 
-SUBLANES = 8
+SUBLANES = 8  # default tile height; cfg.tile_sublanes overrides
 LANES = 128
-TILE = SUBLANES * LANES  # pixels per program
 
 
 def _pack_pytree(tree):
@@ -131,7 +130,10 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg):
         u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
         u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
         u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        rand_dir = direction_from_uniforms(u_w, u_z, u_fi, method=cfg.sampler_method)
+        rand_dir = direction_from_uniforms(
+            u_w, u_z, u_fi, method=cfg.sampler_method,
+            kepler_iters=cfg.sampler_iters,
+        )
 
         mirrored = reflect(d, inter.norm)
         scattered = redirect(rand_dir, inter.norm)
@@ -149,10 +151,12 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     scene, camera = rebuild(params_ref)
     seed = seed_ref[0].astype(jnp.uint32)
 
+    sublanes = cfg.tile_sublanes
+    tile = sublanes * LANES
     pid = pl.program_id(0)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
-    lin = pid * TILE + sub * LANES + lane
+    sub = jax.lax.broadcasted_iota(jnp.int32, (sublanes, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sublanes, LANES), 1)
+    lin = pid * tile + sub * LANES + lane
     total = n_views * height * width
     lin = jnp.minimum(lin, total - 1)  # clamp padded tail to pixel 0's view
 
@@ -167,7 +171,7 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
 
     # Per-view basis select (three_window_group.cpp:42-46): camera.top /
     # camera.right may carry a leading view axis of static length n_views.
-    tile_zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    tile_zero = jnp.zeros((sublanes, LANES), jnp.float32)
 
     def view_component(c):
         # scalar + zeros instead of broadcast_to: Mosaic rejects a raw
@@ -234,8 +238,10 @@ def render_light_pallas(
     packed, rebuild = _pack_pytree((scene, camera))
     seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
 
+    sublanes = cfg.tile_sublanes
+    tile = sublanes * LANES
     total = n_views * height * width
-    n_tiles = pl.cdiv(total, TILE)
+    n_tiles = pl.cdiv(total, tile)
 
     kernel = functools.partial(
         _kernel, rebuild=rebuild, cfg=cfg,
@@ -249,16 +255,16 @@ def render_light_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, SUBLANES, LANES),
+            (1, 3, sublanes, LANES),
             lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, SUBLANES, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, sublanes, LANES), jnp.float32),
         interpret=interpret,
     )(packed, seed_arr)
 
-    # (tiles, 3, 8, 128) -> (pixels, 3) -> image
-    flat = out.transpose(0, 2, 3, 1).reshape(n_tiles * TILE, 3)[:total]
+    # (tiles, 3, sublanes, 128) -> (pixels, 3) -> image
+    flat = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, 3)[:total]
     if n_views == 1:
         return flat.reshape(height, width, 3)
     return flat.reshape(n_views, height, width, 3)
