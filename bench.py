@@ -38,7 +38,7 @@ IMPL = os.environ.get("BENCH_IMPL", "pallas")
 # "unroll" (fastest steady-state) or "fori" (fastest compile)
 LOOP = os.environ.get("BENCH_LOOP", "unroll")
 TILE_SUBLANES = int(os.environ.get("BENCH_TILE_SUBLANES", 32))
-SAMPLER = os.environ.get("BENCH_SAMPLER", "kepler")
+SAMPLER = os.environ.get("BENCH_SAMPLER", "poly")
 SAMPLER_ITERS = int(os.environ.get("BENCH_SAMPLER_ITERS", 2))
 TARGET_RAYS_PER_S = 1e9  # north-star: >= 1 Gray/s per chip
 

@@ -54,7 +54,9 @@ class RenderConfig:
     reflections_amount: int = 4
     small_indent: float = 0.005
     light_coefficient: float = 1.0
-    sampler_method: str = "kepler"  # "kepler" (TPU-fast) or "newton" (reference-exact)
+    # "poly" (TPU-fastest: polynomial inverse-CDF, <5e-6 error),
+    # "kepler" (Halley iterations), "newton" (reference-exact loop).
+    sampler_method: str = "poly"
     # Halley iterations for the Kepler inverse-CDF; 2 already reaches the
     # float32 rounding floor (~1e-5, see ops/sampler.py).
     sampler_iters: int = 2

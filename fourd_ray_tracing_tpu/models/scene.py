@@ -22,10 +22,12 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from fourd_ray_tracing_tpu.ops import geometry as geo
+from fourd_ray_tracing_tpu.ops.sampler import SMALL_FLOAT
 from fourd_ray_tracing_tpu.ops.sky import Environment, Sun
-from fourd_ray_tracing_tpu.ops.vec4 import Vec3, Vec4
+from fourd_ray_tracing_tpu.ops.vec4 import Vec3, Vec4, dot
 
 
 class SpaceSpec(NamedTuple):

@@ -76,3 +76,36 @@ def test_newton_and_kepler_agree_in_render_tolerance(rng_np):
     )
     for a, b in zip(d_n, d_k):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 2e-3
+
+
+def test_poly_matches_newton():
+    v = jnp.asarray(np.linspace(0.0, 0.999999, 4001), jnp.float32)
+    w_newton = np.asarray(sampler.w_by_volume_newton(v))
+    w_poly = np.asarray(sampler.w_by_volume_poly(v))
+    assert np.abs(w_poly - w_newton).max() < 5e-4
+
+
+def test_poly_inverts_cdf_tightest():
+    # The polynomial mode is tighter than kepler-2: <5e-6 in w-space,
+    # so <4e-6 in v-space (CDF slope <= 2/pi).
+    v = jnp.asarray(np.linspace(1e-6, 1 - 1e-6, 9973), jnp.float32)
+    w = sampler.w_by_volume_poly(v)
+    v_back = np.asarray(sampler.volume_by_w(w))
+    np.testing.assert_allclose(v_back, np.asarray(v), atol=5e-6)
+
+
+def test_poly_w_marginal_distribution(rng_np):
+    u = rng_np.random(20000).astype(np.float32)
+    w = np.asarray(sampler.w_by_volume_poly(jnp.asarray(u)))
+    cdf = lambda x: (x * np.sqrt(1 - x**2) - np.arccos(x)) / np.pi + 1
+    d, p = stats.kstest(w, cdf)
+    assert p > 0.01, (d, p)
+
+
+def test_poly_directions_unit(rng_np):
+    u = rng_np.random((3, 10000)).astype(np.float32)
+    d = sampler.direction_from_uniforms(
+        jnp.asarray(u[0]), jnp.asarray(u[1]), jnp.asarray(u[2]), method="poly"
+    )
+    vecs = np.stack([np.asarray(c) for c in d], axis=-1)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=-1), 1.0, atol=1e-5)
