@@ -39,6 +39,7 @@ IMPL = os.environ.get("BENCH_IMPL", "pallas")
 LOOP = os.environ.get("BENCH_LOOP", "unroll")
 TILE_SUBLANES = int(os.environ.get("BENCH_TILE_SUBLANES", 32))
 SAMPLER = os.environ.get("BENCH_SAMPLER", "poly")
+INTERSECT = os.environ.get("BENCH_INTERSECT", "fast")
 SAMPLER_ITERS = int(os.environ.get("BENCH_SAMPLER_ITERS", 2))
 TARGET_RAYS_PER_S = 1e9  # north-star: >= 1 Gray/s per chip
 
@@ -55,6 +56,7 @@ def make_renderer():
         bounce_loop=LOOP,
         tile_sublanes=TILE_SUBLANES,
         sampler_iters=SAMPLER_ITERS,
+        intersect=INTERSECT,
     )
     scene = library.SCENES[SCENE]()
     camera = cam.camera_from_state(

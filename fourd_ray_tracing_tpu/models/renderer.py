@@ -75,6 +75,11 @@ class RenderConfig:
     # unrolled bounces). Identical images; the jnp pipeline always uses
     # the unrolled break-form (it must also support sequential RNG).
     bounce_loop: str = "fori"
+    # Scene intersection implementation: "fast" (fused dist-fold +
+    # deferred winner resolve, models/scene.py:intersect_scene_fast) or
+    # "spec" (literal per-primitive closest-fold; mask edges can differ
+    # at ulp level).
+    intersect: str = "fast"
     # Pallas tile height in sublanes (tile = tile_sublanes x 128 pixels).
     # Larger tiles amortize per-program overhead (scene unpack from SMEM,
     # grid bookkeeping) over more pixels at the cost of VMEM registers;
@@ -136,12 +141,18 @@ def trace_rays(
     seed: jnp.ndarray,
     counter: jnp.ndarray,
     cfg: RenderConfig,
+    first=None,
 ):
     """One sample per lane: the trace() loop (shader.frag:471-495).
 
     Returns (light: Vec3, advanced counter). Masked-lane form of the
     scalar reference loop; RNG counters advance only where the scalar
     code would call rand().
+
+    ``first`` optionally supplies a precomputed bounce-0 Intersection:
+    all samples of a pixel share one primary ray (shader.frag:519), so
+    the caller's sample loop hoists the first intersect out and pays it
+    once per pixel instead of once per sample — bit-identical results.
     """
     o, d = ray_o, ray_d
     # (plain zeros, not an astype of pixel_bits: Mosaic has no u32->f32 cast)
@@ -151,12 +162,17 @@ def trace_rays(
     alive = jnp.zeros(pixel_bits.shape, jnp.float32) < 1.0
 
     for bounce in range(cfg.reflections_amount + 1):
-        inter = intersect_scene(scene, o, d)
+        if bounce == 0 and first is not None:
+            inter = first
+        else:
+            inter = intersect_scene(scene, o, d, cfg.intersect)
 
-        escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
-        env = final_light(scene.environment, d)
-        add_env = (throughput * env).where(escaped, Vec3.full(0.0, like=result.x))
-        result = result + add_env
+        env_on = scene.environment is not None and scene.environment.enabled
+        if env_on:  # static: disabled env compiles away (room scene)
+            escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
+            env = final_light(scene.environment, d)
+            add_env = (throughput * env).where(escaped, Vec3.full(0.0, like=result.x))
+            result = result + add_env
 
         alive = jnp.logical_and(alive, inter.hit)
 
@@ -233,6 +249,9 @@ def render_light_tile(
 
     counter0 = rng.init_counter(seed, pixel_bits.shape)
     zero3 = Vec3.full(0.0, like=jnp.zeros(d.x.shape, jnp.float32))
+    # All samples share the primary ray (shader.frag:519) — hoist the
+    # sample-invariant bounce-0 intersection out of the sample loop.
+    first = intersect_scene(scene, o, d, cfg.intersect)
 
     if cfg.rng_mode == "per_sample":
         sample0 = jnp.asarray(sample0, jnp.uint32)
@@ -240,7 +259,7 @@ def render_light_tile(
         def sample_body(s, state):
             acc, counter = state
             bits = sample_stream_bits(pixel_bits, sample0 + jnp.uint32(s))
-            light, _ = trace_rays(scene, o, d, bits, seed, counter0, cfg)
+            light, _ = trace_rays(scene, o, d, bits, seed, counter0, cfg, first=first)
             return acc + light, counter
 
     else:
@@ -253,7 +272,9 @@ def render_light_tile(
 
         def sample_body(s, state):
             acc, counter = state
-            light, counter = trace_rays(scene, o, d, pixel_bits, seed, counter, cfg)
+            light, counter = trace_rays(
+                scene, o, d, pixel_bits, seed, counter, cfg, first=first
+            )
             return acc + light, counter
 
     acc, _ = jax.lax.fori_loop(0, n_samples, sample_body, (zero3, counter0))

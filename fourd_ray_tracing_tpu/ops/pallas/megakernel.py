@@ -92,7 +92,8 @@ def _pack_pytree(tree):
     return packed, rebuild
 
 
-def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg):
+def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
+                     first=None):
     """trace() as a lax.fori_loop — one bounce-body compilation instead
     of reflections_amount+1 copies, which cuts Mosaic compile time ~5x on
     heavy scenes (the tiger's 8-face intersect makes unrolled kernels
@@ -106,16 +107,18 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg):
     """
     zero3 = Vec3.full(0.0, like=jnp.zeros(pixel_bits.shape, jnp.float32))
 
-    def body(_, state):
+    def body(_, state, inter=None):
         # alive crosses the loop as f32 (Mosaic can't carry i1 vectors
         # through scf.for) and is re-derived as a mask each iteration.
         o, d, result, throughput, alive_f, counter = state
         alive = alive_f > 0.5
-        inter = intersect_scene(scene, o, d)
+        if inter is None:
+            inter = intersect_scene(scene, o, d, cfg.intersect)
 
-        escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
-        env = final_light(scene.environment, d)
-        result = result + (throughput * env).where(escaped, zero3)
+        if scene.environment is not None and scene.environment.enabled:
+            escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
+            env = final_light(scene.environment, d)
+            result = result + (throughput * env).where(escaped, zero3)
 
         alive = jnp.logical_and(alive, inter.hit)
         result = result + (inter.color * inter.glow * throughput).where(alive, zero3)
@@ -142,7 +145,13 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg):
 
     ones = jnp.ones(pixel_bits.shape, jnp.float32)
     state = (ray_o, ray_d, zero3, Vec3.full(1.0, like=zero3.x), ones, counter)
-    state = jax.lax.fori_loop(0, cfg.reflections_amount + 1, body, state)
+    start = 0
+    if first is not None:
+        # Peel bounce 0 so the hoisted sample-invariant intersection is
+        # used without a select inside the loop body.
+        state = body(0, state, inter=first)
+        start = 1
+    state = jax.lax.fori_loop(start, cfg.reflections_amount + 1, body, state)
     return state[2], state[5]
 
 
@@ -200,10 +209,13 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     zero3 = Vec3.full(0.0, like=scr_x * 0.0)
 
     trace = _trace_rays_fori if cfg.bounce_loop == "fori" else trace_rays
+    # Sample-invariant bounce-0 intersection, hoisted out of the sample
+    # loop (all samples share the primary ray, shader.frag:519).
+    first = intersect_scene(scene, focus, d, cfg.intersect)
 
     def sample_body(s, acc):
         bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
-        light, _ = trace(scene, focus, d, bits, seed, counter0, cfg)
+        light, _ = trace(scene, focus, d, bits, seed, counter0, cfg, first=first)
         return acc + light
 
     acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)

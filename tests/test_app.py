@@ -1,0 +1,144 @@
+"""App driver, checkpoint, PNG writer, and profiling meter tests
+(auxiliary subsystems of SURVEY §5)."""
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from fourd_ray_tracing_tpu import app as app_mod
+from fourd_ray_tracing_tpu.utils import checkpoint
+from fourd_ray_tracing_tpu.utils.config import AppConfig
+from fourd_ray_tracing_tpu.utils.image import write_png
+from fourd_ray_tracing_tpu.utils.profiling import Meter
+
+TINY_CONFIG = """
+show_additional_windows = false
+window.main.title = Main section
+window.main.width = 96
+window.main.cell_size = 4
+window.additional.width = 60
+window.additional.cell_size = 10
+ray_tracing.samples = 2
+ray_tracing.reflections_amount = 2
+ray_tracing.small_indent = 0.005
+camera.focus_to_matrix_distance = 1.5
+camera.matrix_height = 2.0
+camera.initial_position.x = 0.0
+camera.initial_position.y = -2.0
+camera.initial_position.z = 0.0
+camera.initial_position.w = 0.0
+camera.initial_position.fi = 0.0
+camera.initial_position.te = 0.0
+camera.initial_position.psi = 0.0
+mouse_border_width = 15
+constrain_psi_range = true
+psi_range_radius = 45.0
+mouse_sensitivity = 0.005
+wheel_sensitivity = 0.1
+movement_speed = 3.0
+light_to_color_conversion_coefficient = 1.0
+max_fps = 60
+scene = sphere_plane_light
+"""
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    p = tmp_path / "properties.txt"
+    p.write_text(TINY_CONFIG)
+    return p
+
+
+def read_png_header(path):
+    data = path.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    length = struct.unpack(">I", data[8:12])[0]
+    assert data[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h, data
+
+
+def test_headless_main_renders_and_saves(tiny_config, tmp_path, capsys):
+    out = tmp_path / "out"
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--frames", "2",
+        "--out", str(out), "--deterministic",
+    ])
+    assert rc == 0
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 1  # single window (show_additional_windows=false)
+    w, h, _ = read_png_header(pngs[0])
+    assert (w, h) == (24, 14)  # 96/4 x (96/GOLDEN=59)//4
+    text = capsys.readouterr().out
+    assert "rays_per_s" in text
+
+
+def test_headless_main_three_views(tiny_config, tmp_path):
+    cfg_text = TINY_CONFIG.replace(
+        "show_additional_windows = false", "show_additional_windows = true"
+    )
+    p = tmp_path / "p3.txt"
+    p.write_text(cfg_text)
+    out = tmp_path / "out3"
+    rc = app_mod.main([
+        "--config", str(p), "--frames", "1", "--out", str(out),
+        "--deterministic",
+    ])
+    assert rc == 0
+    assert {q.stem for q in out.glob("*.png")} == {"yxz", "ywz", "yxw"}
+
+
+def test_interactive_loop_commands(tiny_config, tmp_path, monkeypatch, capsys):
+    import io
+    save_dir = tmp_path / "saved"
+    cmds = f"frames 2\nw 0.1\nlook 0.05 0.0\nstats\nsave {save_dir}\nbogus\nquit\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(cmds))
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--interactive",
+        "--out", str(tmp_path / "out"), "--deterministic",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "unknown command: bogus" in text
+    assert "rays_per_s" in text
+    assert list(save_dir.glob("*.png"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "accum": np.arange(12, dtype=np.float32).reshape(2, 2, 3),
+        "frame_number": np.int32(7),
+    }
+    path = tmp_path / "ckpt"
+    checkpoint.save(path, state)
+    got = checkpoint.restore(path, state)
+    np.testing.assert_array_equal(np.asarray(got["accum"]), state["accum"])
+    assert int(got["frame_number"]) == 7
+
+
+def test_write_png_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((5, 9, 3)).astype(np.float32)
+    p = tmp_path / "x.png"
+    write_png(p, img)
+    w, h, data = read_png_header(p)
+    assert (w, h) == (9, 5)
+    # decode IDAT and compare pixels (filter 0 per row)
+    idat_off = data.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", data[data.index(b"IDAT") - 4:data.index(b"IDAT")])[0]
+    raw = zlib.decompress(data[idat_off:idat_off + idat_len])
+    rows = np.frombuffer(raw, np.uint8).reshape(5, 1 + 9 * 3)
+    assert (rows[:, 0] == 0).all()
+    px = rows[:, 1:].reshape(5, 9, 3)
+    want = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(px, want)
+
+
+def test_meter_counts_rays():
+    m = Meter()
+    with m.measure(1000) as h:
+        h["result"] = np.zeros(3)
+    assert m.stats.frames == 1 and m.stats.rays == 1000
+    payload = json.loads(m.stats.as_json())
+    assert payload["frames"] == 1 and payload["rays_per_s"] > 0
