@@ -86,6 +86,13 @@ class RenderConfig:
     # 32 measured fastest on TPU v5e (bench.py sweep: 8->337, 16->488,
     # 32->526, 64->495 Mray/s on room-with-sphere 1280x720x8sppx4b).
     tile_sublanes: int = 32
+    # Static zero-component hints for hyperplane normals (fast intersect
+    # only): tuple of per-space (zx, zy, zz, zw) bools from
+    # models.scene.plane_norm_hints, or None. Forward-identical (skipped
+    # terms are exact float32 zeros); auto-populated by the production
+    # Pallas entry point, never by the jnp/autodiff path (hinted normal
+    # components would get zero gradients).
+    plane_hints: tuple | None = None
 
 
 def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):
@@ -165,7 +172,9 @@ def trace_rays(
         if bounce == 0 and first is not None:
             inter = first
         else:
-            inter = intersect_scene(scene, o, d, cfg.intersect)
+            inter = intersect_scene(
+                scene, o, d, cfg.intersect, plane_hints=cfg.plane_hints
+            )
 
         env_on = scene.environment is not None and scene.environment.enabled
         if env_on:  # static: disabled env compiles away (room scene)

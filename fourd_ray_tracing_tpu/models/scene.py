@@ -61,7 +61,37 @@ _FAR = np.float32(1e30)
 _SMALL2 = np.float32(float(SMALL_FLOAT) * float(SMALL_FLOAT))
 
 
-def intersect_scene_fast(scene: Scene, ray_o: Vec4, ray_d: Vec4) -> geo.Intersection:
+def plane_norm_hints(scene: Scene):
+    """Static zero-component hints for hyperplane normals, or None.
+
+    Every shipped scene's walls are axis-aligned (e.g. the room's 8
+    hyperplanes, scenes/Комната со сферой.frag:6-15): 3 of the 4 normal
+    components are exactly 0.0. The fast intersection fold can then skip
+    those multiply-adds — the dominant per-bounce cost on closed scenes —
+    without changing the forward value (x + 0*y == x in float32 for
+    finite x).
+
+    Only derivable OUTSIDE jit: returns None when any normal component is
+    a tracer. The returned value is a hashable tuple-of-tuples of bools
+    (True = component is exactly 0.0), suitable as a static jit argument
+    (threaded via RenderConfig.plane_hints). Production-forward only:
+    gradients w.r.t. hinted-zero normal components vanish under hints, so
+    the autodiff/oracle jnp path never auto-applies them.
+    """
+    import jax.core as jcore
+
+    hints = []
+    for sp in scene.spaces:
+        comps = (sp.norm.x, sp.norm.y, sp.norm.z, sp.norm.w)
+        if any(isinstance(c, jcore.Tracer) for c in comps):
+            return None
+        hints.append(tuple(bool(np.asarray(c) == 0.0) for c in comps))
+    return tuple(hints) if hints else None
+
+
+def intersect_scene_fast(
+    scene: Scene, ray_o: Vec4, ray_d: Vec4, plane_hints=None
+) -> geo.Intersection:
     """Fused closest-hit with identical semantics to `intersect_scene_spec`
     but restructured for TPU lanes (the production path of trace_rays):
 
@@ -98,20 +128,38 @@ def intersect_scene_fast(scene: Scene, ray_o: Vec4, ray_d: Vec4) -> geo.Intersec
             ),
         )
 
-    for sp in scene.spaces:
+    if plane_hints is not None and len(plane_hints) != len(scene.spaces):
+        raise ValueError(
+            f"plane_hints has {len(plane_hints)} entries for "
+            f"{len(scene.spaces)} hyperplanes"
+        )
+    for k_sp, sp in enumerate(scene.spaces):
         n = sp.norm
+        # True = that normal component is statically exactly 0.0, so its
+        # multiply-adds drop out of the per-lane dots (see plane_norm_hints).
+        hint = plane_hints[k_sp] if plane_hints is not None else (False,) * 4
         cn = dot(sp.point, n)  # scalar (per-scene, hoisted out of the lanes)
-        on = o.x * n.x + o.y * n.y + o.z * n.z + o.w * n.w
-        dn = d.x * n.x + d.y * n.y + d.z * n.z + d.w * n.w
+        live = [
+            (oc, dc, nc)
+            for oc, dc, nc, z in zip(o, d, n, hint)
+            if not z
+        ] or [(o.x, d.x, n.x)]
+        on = sum((oc * nc for oc, dc, nc in live[1:]), live[0][0] * live[0][2])
+        dn = sum((dc * nc for oc, dc, nc in live[1:]), live[0][1] * live[0][2])
         dot_vn = cn - on
         sgn = jnp.sign(dot_vn)
         hit = sgn * dn >= SMALL_FLOAT
         dist = dot_vn / jnp.where(hit, dn, 1.0)
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, hit_p, norm, glow, refl, color, n=n, sgn=sgn, mat=sp.material):
+        def resolve(mask, hit_p, norm, glow, refl, color,
+                    n=n, sgn=sgn, hint=hint, mat=sp.material):
             flip = -sgn
-            norm = Vec4(flip * n.x, flip * n.y, flip * n.z, flip * n.w).where(mask, norm)
+            comps = [
+                zero if z else flip * nc
+                for nc, z in zip(n, hint)
+            ]
+            norm = Vec4(*comps).where(mask, norm)
             return (norm, *mat_resolve(mask, mat, glow, refl, color))
 
         resolvers.append(resolve)
@@ -237,14 +285,16 @@ def intersect_scene_spec(scene: Scene, ray_o: Vec4, ray_d: Vec4) -> geo.Intersec
 
 
 def intersect_scene(
-    scene: Scene, ray_o: Vec4, ray_d: Vec4, mode: str = "fast"
+    scene: Scene, ray_o: Vec4, ray_d: Vec4, mode: str = "fast",
+    plane_hints=None,
 ) -> geo.Intersection:
     """Dispatch: "fast" (production, fused fold) or "spec" (literal
     per-primitive fold, the executable spec the fast path is tested
-    against)."""
+    against). ``plane_hints`` (fast mode only): static zero-component
+    hints from `plane_norm_hints`."""
     if mode == "spec":
         return intersect_scene_spec(scene, ray_o, ray_d)
-    return intersect_scene_fast(scene, ray_o, ray_d)
+    return intersect_scene_fast(scene, ray_o, ray_d, plane_hints=plane_hints)
 
 
 # --- Convenience constructors (Python-float friendly) --------------------

@@ -33,6 +33,7 @@ work (inverse rendering) runs through the identical-math jnp pipeline.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Sequence
 
@@ -48,7 +49,11 @@ from fourd_ray_tracing_tpu.models.renderer import (
     sample_stream_bits,
     trace_rays,
 )
-from fourd_ray_tracing_tpu.models.scene import Scene, intersect_scene
+from fourd_ray_tracing_tpu.models.scene import (
+    Scene,
+    intersect_scene,
+    plane_norm_hints,
+)
 from fourd_ray_tracing_tpu.ops import rng
 from fourd_ray_tracing_tpu.ops.sampler import direction_from_uniforms
 from fourd_ray_tracing_tpu.ops.sky import final_light, light_to_color
@@ -113,7 +118,9 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
         o, d, result, throughput, alive_f, counter = state
         alive = alive_f > 0.5
         if inter is None:
-            inter = intersect_scene(scene, o, d, cfg.intersect)
+            inter = intersect_scene(
+                scene, o, d, cfg.intersect, plane_hints=cfg.plane_hints
+            )
 
         if scene.environment is not None and scene.environment.enabled:
             escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
@@ -211,7 +218,9 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     trace = _trace_rays_fori if cfg.bounce_loop == "fori" else trace_rays
     # Sample-invariant bounce-0 intersection, hoisted out of the sample
     # loop (all samples share the primary ray, shader.frag:519).
-    first = intersect_scene(scene, focus, d, cfg.intersect)
+    first = intersect_scene(
+        scene, focus, d, cfg.intersect, plane_hints=cfg.plane_hints
+    )
 
     def sample_body(s, acc):
         bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
@@ -225,7 +234,6 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     out_ref[0, 2] = acc.z * inv
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def render_light_pallas(
     scene: Scene, camera: Camera, cfg: RenderConfig, seed,
     interpret: bool | None = None,
@@ -238,7 +246,25 @@ def render_light_pallas(
 
     ``interpret`` runs the kernel in the Pallas interpreter (defaults to
     True off-TPU so tests cover the kernel on the CPU mesh).
+
+    Production entry point: when the scene is concrete (the normal case —
+    this function is the jit boundary) and no hints were set, hyperplane
+    zero-component hints are derived here so the kernel skips the
+    statically-zero multiply-adds (forward-identical, see
+    scene.plane_norm_hints).
     """
+    if cfg.intersect == "fast" and cfg.plane_hints is None:
+        hints = plane_norm_hints(scene)
+        if hints is not None:
+            cfg = dataclasses.replace(cfg, plane_hints=hints)
+    return _render_light_pallas_jit(scene, camera, cfg, seed, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _render_light_pallas_jit(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
     if cfg.rng_mode != "per_sample":
         raise ValueError("the Pallas megakernel renders per-sample RNG streams")
     if interpret is None:
