@@ -195,7 +195,24 @@ def trace_rays(
         o = new_o.where(alive, o)
 
         if bounce == cfg.reflections_amount:
-            break  # final iteration's direction is never used (shader.frag:474)
+            # The final iteration's direction is never used, but the
+            # reference still draws for it (the update sits inside the
+            # loop, shader.frag:488-491): 1 Bernoulli + 3 sampler calls
+            # on live diffuse lanes. A sequential stream carries across
+            # the sample loop (shader.frag:92), so those draws shift the
+            # NEXT sample's stream — advance the counters, skip the
+            # direction math. Per-sample streams reset each sample, so
+            # they skip this dead work entirely.
+            if cfg.rng_mode == "sequential":
+                u_refl, counter = rng.masked_uniform01(
+                    pixel_bits, seed, counter, alive
+                )
+                diffuse = jnp.logical_and(alive, u_refl > inter.refl_prob)
+                for _ in range(3):
+                    _, counter = rng.masked_uniform01(
+                        pixel_bits, seed, counter, diffuse
+                    )
+            break
 
         u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
         mirror = u_refl <= inter.refl_prob

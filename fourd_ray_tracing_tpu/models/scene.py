@@ -250,8 +250,16 @@ def intersect_scene_fast(
     return geo.Intersection(hit, dist, norm, glow, refl, color)
 
 
-def intersect_scene_spec(scene: Scene, ray_o: Vec4, ray_d: Vec4) -> geo.Intersection:
-    """Closest hit over every primitive (find_intersection analogue)."""
+def intersect_scene_spec(
+    scene: Scene, ray_o: Vec4, ray_d: Vec4, trig: bool = False
+) -> geo.Intersection:
+    """Closest hit over every primitive (find_intersection analogue).
+
+    ``trig`` selects the reference's literal trigonometric sphere/circle
+    solution everywhere (shader.frag:197-221, also inside cylinders) —
+    the configuration tested against the independent oracle
+    (oracle/frag.py, tests/test_oracle.py)."""
+    sphere_fn = geo.sphere_intersection_trig if trig else geo.sphere_intersection
     inter = geo.miss_like(ray_o.x)
     for sp in scene.spaces:
         inter = geo.closest(
@@ -260,27 +268,29 @@ def intersect_scene_spec(scene: Scene, ray_o: Vec4, ray_d: Vec4) -> geo.Intersec
         )
     for s in scene.spheres:
         inter = geo.closest(
-            geo.sphere_intersection(s.center, s.r, s.material, ray_o, ray_d, True),
+            sphere_fn(s.center, s.r, s.material, ray_o, ray_d, True),
             inter,
         )
     for c in scene.cylinders:
         inter = geo.closest(
             geo.cylinder_intersection(
-                c.point, c.axis1, c.axis2, c.r, c.material, ray_o, ray_d, True
+                c.point, c.axis1, c.axis2, c.r, c.material, ray_o, ray_d, True, trig
             ),
             inter,
         )
     if scene.cylinders_union is not None:
         c1, c2 = scene.cylinders_union
         inter = geo.closest(
-            geo.cylinders_union_intersection(c1, c2, ray_o, ray_d), inter
+            geo.cylinders_union_intersection(c1, c2, ray_o, ray_d, trig), inter
         )
     if scene.hypercube is not None:
         inter = geo.closest(
             geo.hypercube_intersection(scene.hypercube, ray_o, ray_d), inter
         )
     if scene.tiger is not None:
-        inter = geo.closest(geo.tiger_intersection(scene.tiger, ray_o, ray_d), inter)
+        inter = geo.closest(
+            geo.tiger_intersection(scene.tiger, ray_o, ray_d, trig), inter
+        )
     return inter
 
 
@@ -288,12 +298,16 @@ def intersect_scene(
     scene: Scene, ray_o: Vec4, ray_d: Vec4, mode: str = "fast",
     plane_hints=None,
 ) -> geo.Intersection:
-    """Dispatch: "fast" (production, fused fold) or "spec" (literal
+    """Dispatch: "fast" (production, fused fold), "spec" (literal
     per-primitive fold, the executable spec the fast path is tested
-    against). ``plane_hints`` (fast mode only): static zero-component
-    hints from `plane_norm_hints`."""
+    against) or "trig" (spec with the reference's literal trigonometric
+    sphere solution — the oracle-parity configuration). ``plane_hints``
+    (fast mode only): static zero-component hints from
+    `plane_norm_hints`."""
     if mode == "spec":
         return intersect_scene_spec(scene, ray_o, ray_d)
+    if mode == "trig":
+        return intersect_scene_spec(scene, ray_o, ray_d, trig=True)
     return intersect_scene_fast(scene, ray_o, ray_d, plane_hints=plane_hints)
 
 

@@ -246,10 +246,14 @@ def cylinder_intersection(
     ray_o: Vec4,
     ray_d: Vec4,
     outer: bool = True,
+    trig: bool = False,
 ) -> Intersection:
     """Cylinder infinite along two orthogonal axes: project the ray into
     the 2-plane orthogonal to both axes, circle-intersect there, un-scale
-    the distance by the projected direction length (shader.frag:251-267)."""
+    the distance by the projected direction length (shader.frag:251-267).
+
+    ``trig`` switches the inner circle test to the reference's literal
+    trigonometric sphere solution (fidelity/oracle mode)."""
     o1 = point_in_space(ray_o, point, axis1)
     d1 = vec_in_space(ray_d, axis1)
     miss1 = _safe_length(d1) < SMALL_FLOAT
@@ -261,7 +265,8 @@ def cylinder_intersection(
     inv_len = 1.0 / jnp.where(miss2, 1.0, d12_len)
     d12_unit = d12 * inv_len
 
-    inter = sphere_intersection(point, r, material, o12, d12_unit, outer)
+    sphere_fn = sphere_intersection_trig if trig else sphere_intersection
+    inter = sphere_fn(point, r, material, o12, d12_unit, outer)
     hit = jnp.logical_and(
         inter.hit, jnp.logical_not(jnp.logical_or(miss1, miss2))
     )
@@ -290,19 +295,22 @@ class CylinderSpec(NamedTuple):
 
 
 def cylinders_union_intersection(
-    cyl1: CylinderSpec, cyl2: CylinderSpec, ray_o: Vec4, ray_d: Vec4
+    cyl1: CylinderSpec, cyl2: CylinderSpec, ray_o: Vec4, ray_d: Vec4,
+    trig: bool = False,
 ) -> Intersection:
     """Each cylinder's hit is kept only if it lies within the *other*
     cylinder's radius. NOTE: the second clip tests against cyl2.r, not
     cyl1.r — verbatim reference behavior (shader.frag:290, SURVEY C6i)."""
     inter1 = cylinder_intersection(
-        cyl1.point, cyl1.axis1, cyl1.axis2, cyl1.r, cyl1.material, ray_o, ray_d, True
+        cyl1.point, cyl1.axis1, cyl1.axis2, cyl1.r, cyl1.material, ray_o, ray_d,
+        True, trig,
     )
     d1 = dist_to_axes_plane(inter1.dist, ray_o, ray_d, cyl2.point, cyl2.axis1, cyl2.axis2)
     inter1 = inter1._replace(hit=jnp.logical_and(inter1.hit, d1 <= cyl2.r))
 
     inter2 = cylinder_intersection(
-        cyl2.point, cyl2.axis1, cyl2.axis2, cyl2.r, cyl2.material, ray_o, ray_d, True
+        cyl2.point, cyl2.axis1, cyl2.axis2, cyl2.r, cyl2.material, ray_o, ray_d,
+        True, trig,
     )
     d2 = dist_to_axes_plane(inter2.dist, ray_o, ray_d, cyl1.point, cyl1.axis1, cyl1.axis2)
     inter2 = inter2._replace(hit=jnp.logical_and(inter2.hit, d2 <= cyl2.r))
@@ -349,11 +357,13 @@ def _tiger_face(
     ray_o: Vec4,
     ray_d: Vec4,
     outer: bool,
+    trig: bool = False,
 ) -> Intersection:
     """One face: cylinder hit clipped to the [inner_r, outer_r] annulus of
     the other cylinder family (shader.frag:317-324)."""
     inter = cylinder_intersection(
-        cyl.point, cyl.axis1, cyl.axis2, cyl.r, cyl.material, ray_o, ray_d, outer
+        cyl.point, cyl.axis1, cyl.axis2, cyl.r, cyl.material, ray_o, ray_d,
+        outer, trig,
     )
     d_out = dist_to_axes_plane(
         inter.dist, ray_o, ray_d, outer_cyl.point, outer_cyl.axis1, outer_cyl.axis2
@@ -365,7 +375,9 @@ def _tiger_face(
     return inter._replace(hit=jnp.logical_and(inter.hit, keep))
 
 
-def tiger_intersection(tiger: TigerSpec, ray_o: Vec4, ray_d: Vec4) -> Intersection:
+def tiger_intersection(
+    tiger: TigerSpec, ray_o: Vec4, ray_d: Vec4, trig: bool = False
+) -> Intersection:
     """Closest of the 8 face tests (4 cylinders x outer in {True, False},
     shader.frag:327-341)."""
     faces = []
@@ -376,7 +388,7 @@ def tiger_intersection(tiger: TigerSpec, ray_o: Vec4, ray_d: Vec4) -> Intersecti
         (tiger.outer_cyl2, tiger.outer_cyl1, tiger.inner_cyl1),
     ):
         for outer in (True, False):
-            faces.append(_tiger_face(cyl, ocyl, icyl, ray_o, ray_d, outer))
+            faces.append(_tiger_face(cyl, ocyl, icyl, ray_o, ray_d, outer, trig))
     inter = faces[0]
     for f in faces[1:]:
         inter = closest(f, inter)
