@@ -34,6 +34,7 @@ from fourd_ray_tracing_tpu.models import library
 from fourd_ray_tracing_tpu.models.renderer import RenderConfig
 from fourd_ray_tracing_tpu.ops.vec4 import Vec4
 from fourd_ray_tracing_tpu.utils.config import AppConfig
+from fourd_ray_tracing_tpu.utils.logging import log0
 from fourd_ray_tracing_tpu.utils.image import write_png
 from fourd_ray_tracing_tpu.utils.profiling import Meter
 
@@ -89,7 +90,14 @@ def build_engine(app: AppConfig, deterministic: bool = False) -> RenderEngine:
 
 
 def save_windows(engine: RenderEngine, out_dir: Path, tag: str = "") -> list:
-    """Write one PNG per view window (the display() analogue)."""
+    """Write one PNG per view window (the display() analogue).
+
+    Host 0 only under multi-host (SURVEY §5): N hosts writing the same
+    files to a shared filesystem would race."""
+    import jax
+
+    if jax.process_index() != 0:
+        return []
     out_dir.mkdir(parents=True, exist_ok=True)
     acc = np.asarray(engine.accum)
     paths = []
@@ -107,12 +115,12 @@ def run_frames(engine: RenderEngine, meter: Meter, n: int, quiet=False):
         with meter.measure(engine.rays_per_frame()) as h:
             h["result"] = engine.step_frame()
     if not quiet:
-        print(meter.stats.as_json())
+        log0(meter.stats.as_json())
 
 
 def interactive_loop(engine: RenderEngine, out_dir: Path) -> None:
     meter = Meter()
-    print("interactive; commands: w/s/a/d/space/c/e/q, look, frames, save, stats, quit")
+    log0("interactive; commands: w/s/a/d/space/c/e/q, look, frames, save, stats, quit")
     for line in sys.stdin:
         parts = line.strip().split()
         if not parts:
@@ -135,11 +143,11 @@ def interactive_loop(engine: RenderEngine, out_dir: Path) -> None:
         elif cmd == "save":
             target = Path(args[0]) if args else out_dir
             for p in save_windows(engine, target):
-                print(f"wrote {p}")
+                log0(f"wrote {p}")
         elif cmd == "stats":
-            print(meter.stats.as_json())
+            log0(meter.stats.as_json())
         else:
-            print(f"unknown command: {cmd}")
+            log0(f"unknown command: {cmd}")
 
 
 def main(argv=None) -> int:
@@ -158,7 +166,7 @@ def main(argv=None) -> int:
     engine = build_engine(app, deterministic=args.deterministic)
     out_dir = Path(args.out)
 
-    print(
+    log0(
         f"scene={app.scene} views={engine.views} "
         f"res={engine.cfg.width}x{engine.cfg.height} spp={engine.cfg.samples} "
         f"bounces={engine.cfg.reflections_amount} device={jax.devices()[0]}"
@@ -171,8 +179,8 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     run_frames(engine, meter, args.frames)
     for p in save_windows(engine, out_dir):
-        print(f"wrote {p}")
-    print(f"total {time.perf_counter() - t0:.2f}s")
+        log0(f"wrote {p}")
+    log0(f"total {time.perf_counter() - t0:.2f}s")
     return 0
 
 

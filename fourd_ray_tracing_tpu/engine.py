@@ -92,11 +92,21 @@ class RenderEngine:
                 else "xla"
             )
         if impl == "pallas":
+            from fourd_ray_tracing_tpu.models.scene import plane_norm_hints
             from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
                 render_image_pallas,
             )
 
             render = render_image_pallas
+            # Inside the jitted step the scene leaves are Tracers, so the
+            # megakernel's own hint derivation would silently no-op —
+            # derive the static hyperplane zero-component hints from the
+            # CONCRETE scene here, once, and bake them into the config.
+            if cfg.intersect == "fast" and cfg.plane_hints is None:
+                hints = plane_norm_hints(scene)
+                if hints is not None:
+                    cfg = replace(cfg, plane_hints=hints)
+                    self.cfg = cfg
         else:
             render = render_image
         self.impl = impl

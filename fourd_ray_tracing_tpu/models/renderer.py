@@ -80,6 +80,11 @@ class RenderConfig:
     # "spec" (literal per-primitive closest-fold; mask edges can differ
     # at ulp level).
     intersect: str = "fast"
+    # Rematerialize each sample's trace in the backward pass
+    # (jax.checkpoint): the gradient recomputes ray trajectories instead
+    # of storing every bounce's ray state per sample — the HBM-friendly
+    # choice on TPU. Forward-only cost: none.
+    remat: bool = True
     # Pallas tile height in sublanes (tile = tile_sublanes x 128 pixels).
     # Larger tiles amortize per-program overhead (scene unpack from SMEM,
     # grid bookkeeping) over more pixels at the cost of VMEM registers;
@@ -251,6 +256,7 @@ def render_light_tile(
     n_rows: int | None = None,
     sample0=0,
     n_samples: int | None = None,
+    vary_axes: tuple = (),
 ) -> jnp.ndarray:
     """Light for a block of image rows and a block of samples.
 
@@ -260,7 +266,20 @@ def render_light_tile(
     (requires rng_mode="per_sample" when the sample axis is split).
     Returns (..., n_rows, W, 3) light SUMMED over the local samples
     (caller divides by the GLOBAL sample count).
+
+    ``vary_axes``: when called inside shard_map, the mesh axis names this
+    tile varies over — the loop-carried accumulator starts as a constant
+    and must be explicitly cast to device-varying for shard_map's
+    replication checker (check_vma) to type the sample fori_loop.
     """
+    if cfg.plane_hints is not None:
+        # Hints zero out gradients w.r.t. the hinted normal components;
+        # they are an internal detail of the (forward-only) Pallas entry
+        # point and must never reach the jnp/autodiff pipeline.
+        raise ValueError(
+            "plane_hints is Pallas-internal; the jnp renderer (autodiff "
+            "path) must run without hints"
+        )
     if n_rows is None:
         n_rows = cfg.height
     if n_samples is None:
@@ -275,9 +294,18 @@ def render_light_tile(
 
     counter0 = rng.init_counter(seed, pixel_bits.shape)
     zero3 = Vec3.full(0.0, like=jnp.zeros(d.x.shape, jnp.float32))
+    if vary_axes:
+        # Explicitly device-varying initial carry (see docstring).
+        zero3, counter0 = jax.lax.pcast((zero3, counter0), vary_axes, to="varying")
     # All samples share the primary ray (shader.frag:519) — hoist the
     # sample-invariant bounce-0 intersection out of the sample loop.
     first = intersect_scene(scene, o, d, cfg.intersect)
+
+    # Backward-pass rematerialization: recompute each sample's bounce
+    # trajectory instead of saving per-bounce ray state (diff.py).
+    traced = (
+        jax.checkpoint(trace_rays, static_argnums=(6,)) if cfg.remat else trace_rays
+    )
 
     if cfg.rng_mode == "per_sample":
         sample0 = jnp.asarray(sample0, jnp.uint32)
@@ -285,7 +313,7 @@ def render_light_tile(
         def sample_body(s, state):
             acc, counter = state
             bits = sample_stream_bits(pixel_bits, sample0 + jnp.uint32(s))
-            light, _ = trace_rays(scene, o, d, bits, seed, counter0, cfg, first=first)
+            light, _ = traced(scene, o, d, bits, seed, counter0, cfg, first)
             return acc + light, counter
 
     else:
@@ -298,8 +326,8 @@ def render_light_tile(
 
         def sample_body(s, state):
             acc, counter = state
-            light, counter = trace_rays(
-                scene, o, d, pixel_bits, seed, counter, cfg, first=first
+            light, counter = traced(
+                scene, o, d, pixel_bits, seed, counter, cfg, first
             )
             return acc + light, counter
 

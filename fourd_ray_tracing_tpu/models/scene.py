@@ -128,11 +128,28 @@ def intersect_scene_fast(
             ),
         )
 
-    if plane_hints is not None and len(plane_hints) != len(scene.spaces):
-        raise ValueError(
-            f"plane_hints has {len(plane_hints)} entries for "
-            f"{len(scene.spaces)} hyperplanes"
-        )
+    if plane_hints is not None:
+        if len(plane_hints) != len(scene.spaces):
+            raise ValueError(
+                f"plane_hints has {len(plane_hints)} entries for "
+                f"{len(scene.spaces)} hyperplanes"
+            )
+        # A True hint for a nonzero normal component would silently drop
+        # that dot-product term and render a wrong image; when the normal
+        # components are concrete (non-Tracer), verify each hinted
+        # component is exactly 0.0.
+        import jax.core as jcore
+
+        for k_sp, (sp, hint) in enumerate(zip(scene.spaces, plane_hints)):
+            for comp_name, c, z in zip(
+                "xyzw", (sp.norm.x, sp.norm.y, sp.norm.z, sp.norm.w), hint
+            ):
+                if z and not isinstance(c, jcore.Tracer) and np.asarray(c) != 0.0:
+                    raise ValueError(
+                        f"plane_hints[{k_sp}].{comp_name} claims a zero normal "
+                        f"component but its value is {np.asarray(c)!r}; hints "
+                        "must come from plane_norm_hints"
+                    )
     for k_sp, sp in enumerate(scene.spaces):
         n = sp.norm
         # True = that normal component is statically exactly 0.0, so its

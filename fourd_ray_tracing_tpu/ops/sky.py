@@ -61,7 +61,13 @@ def final_light(env: Environment | None, ray_d: Vec4) -> Vec3:
     in_sun = deviation < env.sun.angular_size
     k = deviation / env.sun.angular_size
     s = env.sun.sharpness
-    k = (s * s * k / (1.0 - s * k) + 1.0) * (1.0 - k)
+    # The reference divides by (1 - s*k) unguarded (shader.frag:463) and
+    # can 0-divide at s*k == 1 (sharpness-1 ray exactly on the disk edge);
+    # here that NaN would also poison the scene *gradient* through the sun
+    # parameters, so floor the denominator. Inside the disk k < 1, so for
+    # s < 1 the guard never triggers and the forward value is unchanged.
+    denom = 1.0 - s * k
+    k = (s * s * k / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom) + 1.0) * (1.0 - k)
     blended = env.sun.light * k + env.sky_light * (1.0 - k)
     sky = Vec3(
         jnp.broadcast_to(env.sky_light.x, ray_d.x.shape),

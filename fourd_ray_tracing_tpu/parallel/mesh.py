@@ -98,6 +98,8 @@ def sharded_render_light(
     rows_local = cfg.height // n_rays
     samples_local = cfg.samples // n_samples
 
+    axes = (RAYS_AXIS, SAMPLES_AXIS)
+
     def local(scene, camera, seed):
         r = jax.lax.axis_index(RAYS_AXIS)
         s = jax.lax.axis_index(SAMPLES_AXIS)
@@ -110,6 +112,10 @@ def sharded_render_light(
             n_rows=rows_local,
             sample0=s * samples_local,
             n_samples=samples_local,
+            # Explicitly cast the loop-carried accumulator to
+            # device-varying so shard_map's replication checker types the
+            # sample fori_loop (the carry starts as a replicated zero).
+            vary_axes=axes,
         )
         # The single forward collective: per-pixel sample sum over ICI.
         total = jax.lax.psum(acc, SAMPLES_AXIS)
@@ -122,10 +128,6 @@ def sharded_render_light(
         mesh=mesh,
         in_specs=(P(), P(), P()),   # scene/camera/seed replicated
         out_specs=out_spec,         # rows sharded, samples-replicated
-        # The sample fori_loop carries a replicated RNG counter next to a
-        # device-varying accumulator; skip the static vma check (the psum
-        # above establishes the replication we claim in out_specs).
-        check_vma=False,
     )(scene, camera, jnp.asarray(seed, jnp.uint32))
 
 

@@ -88,8 +88,9 @@ def test_inverse_rendering_recovers_glow():
     gradients under the fixed-outcome estimator. Geometry parameters
     (radius/position) only enter the estimator through discrete hit/miss
     boundaries, whose AD gradient is correctly zero (see
-    test_geometry_grads_are_boundary_blind); geometry optimization needs
-    the soft-boundary mode (diff.py) and is tested there."""
+    test_geometry_grads_are_boundary_blind); geometry optimization uses
+    the soft-silhouette mode (diff.soft_image_loss), tested in
+    tests/test_soft.py."""
     import optax
 
     from fourd_ray_tracing_tpu.diff import make_train_step
@@ -117,7 +118,8 @@ def test_inverse_rendering_recovers_glow():
     opt_state = opt.init(scene)
     losses = []
     for k in range(60):
-        scene, opt_state, loss = step(scene, opt_state, 11, target)
+        scene, opt_state, loss, metrics = step(scene, opt_state, 11, target)
+        assert np.isfinite(float(metrics["grad_norm"]))
         losses.append(float(loss))
     # The loss has an irreducible floor: the eagerly-rendered target and
     # the jitted training render differ on visibility-boundary pixels

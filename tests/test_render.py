@@ -60,9 +60,11 @@ def test_jit_matches_eager():
     )
     from helpers import assert_images_close
 
-    # At 32x16 the tiger's silhouettes cover a sizeable pixel fraction,
-    # so allow 10% boundary flips between the two compilations.
-    assert_images_close(eager, jitted, atol=1e-5, boundary_frac=0.10)
+    # Measured legitimate jit-vs-eager boundary flips on this workload:
+    # ~5.7% (the tiger's annuli put many pixels on visibility edges at
+    # 64x40 with chaotic diffuse bounces). 7% margin + the helper's
+    # mean-error bound cap any real regression.
+    assert_images_close(eager, jitted, atol=1e-5, boundary_frac=0.07)
 
 
 def test_view_batching_matches_individual_views():

@@ -46,9 +46,11 @@ def test_uniform01_matches_python_model(rng_np):
         [py_uniform(int(p), int(seed), int(seed))[0] for p in pix], np.float32
     )
     np.testing.assert_array_equal(np.asarray(got), want)
-    # counters advanced by exactly one delta
+    # counters advanced by exactly one delta (mod 2^32 in python ints,
+    # avoiding numpy's scalar-overflow warning)
+    expected = np.uint32((int(seed) + 0x79A010A9) & M32)
     np.testing.assert_array_equal(
-        np.asarray(counter2), (np.uint32(seed) + np.uint32(0x79A010A9)) * np.ones(64, np.uint32)
+        np.asarray(counter2), expected * np.ones(64, np.uint32)
     )
 
 

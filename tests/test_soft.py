@@ -1,0 +1,136 @@
+"""Soft-silhouette boundary gradients (diff.soft_image_loss).
+
+The plain fixed-outcome estimator is boundary-blind: a flat emissive
+sphere on a dark background has EXACTLY zero position gradient (its only
+effect on the image is which pixels it covers). The soft mode renders
+with/without the sphere and alpha-blends by a differentiable primary-ray
+coverage, restoring the silhouette term — the classic soft-rasterizer
+trick, here applied to the 4D path tracer's primary hit.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from fourd_ray_tracing_tpu import camera as cam
+from fourd_ray_tracing_tpu.diff import (
+    drop_sphere,
+    image_loss,
+    make_train_step,
+    primary_coverage,
+    soft_image_loss,
+)
+from fourd_ray_tracing_tpu.models.renderer import RenderConfig, render_image
+from fourd_ray_tracing_tpu.models.scene import Scene, material, sphere
+from fourd_ray_tracing_tpu.ops.vec4 import Vec4
+
+# Primary-hit-only workload: 0 bounces isolates the silhouette.
+CFG = RenderConfig(width=32, height=20, samples=1, reflections_amount=0,
+                   light_coefficient=0.3)
+SEED = 11
+
+
+def default_camera():
+    return cam.camera_from_state(
+        Vec4.of(0.0, -2.0, 0.0, 0.0),
+        cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        1.5, 2.0,
+    )
+
+
+def glow_sphere_scene(cx=0.0, cz=0.0, r=0.6):
+    """One flat emissive sphere, black environment: the image is a
+    constant-intensity disk — position affects ONLY the silhouette."""
+    return Scene(
+        spheres=(sphere((cx, 1.5, cz, 0), r, material(10.0, 0.0, (1, 1, 1))),),
+        environment=None,
+    )
+
+
+def test_hard_position_gradient_is_zero():
+    camera = default_camera()
+    target = render_image(glow_sphere_scene(cx=0.5), camera, CFG, SEED)
+
+    def hard(cx):
+        return image_loss(glow_sphere_scene(cx=cx), camera, CFG, SEED, target)
+
+    g = float(jax.grad(hard)(jnp.float32(0.0)))
+    assert g == 0.0  # boundary-blind by construction
+
+
+def test_soft_position_gradient_points_at_target():
+    camera = default_camera()
+    target = render_image(glow_sphere_scene(cx=0.5), camera, CFG, SEED)
+
+    def soft(cx):
+        return soft_image_loss(
+            glow_sphere_scene(cx=cx), camera, CFG, SEED, target,
+            sphere_index=0, edge_width=0.08,
+        )
+
+    g = float(jax.grad(soft)(jnp.float32(0.0)))
+    # Moving +x toward the target (at +0.5) must DECREASE the loss.
+    assert g < -1e-6, g
+
+
+def test_soft_radius_gradient_matches_fd():
+    camera = default_camera()
+    target = render_image(glow_sphere_scene(r=0.8), camera, CFG, SEED)
+
+    def soft(r):
+        return soft_image_loss(
+            glow_sphere_scene(r=r), camera, CFG, SEED, target,
+            sphere_index=0, edge_width=0.08,
+        )
+
+    ad = float(jax.grad(soft)(jnp.float32(0.6)))
+    eps = 1e-3
+    fd = (float(soft(jnp.float32(0.6 + eps))) - float(soft(jnp.float32(0.6 - eps)))) / (2 * eps)
+    # The soft loss is smooth by construction: AD must track FD.
+    np.testing.assert_allclose(ad, fd, rtol=0.05, atol=1e-4)
+    assert ad < 0  # growing toward the target radius decreases loss
+
+
+def test_inverse_rendering_recovers_position_through_silhouette():
+    """The VERDICT's acceptance test: optimize a sphere POSITION from a
+    target image where only the silhouette carries the signal."""
+    camera = default_camera()
+    true_cx = 0.5
+    target = render_image(glow_sphere_scene(cx=true_cx), camera, CFG, SEED)
+
+    opt = optax.adam(0.05)
+    # Optimize only the sphere's center x.
+    def param_filter(grads):
+        zeroed = jax.tree.map(jnp.zeros_like, grads)
+        keep = grads.spheres[0].center.x
+        c = zeroed.spheres[0].center._replace(x=keep)
+        return zeroed._replace(spheres=(zeroed.spheres[0]._replace(center=c),))
+
+    step = make_train_step(
+        CFG, opt, camera, param_filter=param_filter,
+        soft_sphere_index=0, edge_width=0.08,
+    )
+    scene = glow_sphere_scene(cx=0.0)
+    opt_state = opt.init(scene)
+    for _ in range(120):
+        scene, opt_state, loss, metrics = step(scene, opt_state, SEED, target)
+    got = float(scene.spheres[0].center.x)
+    assert abs(got - true_cx) < 0.08, f"recovered cx={got}, want {true_cx}"
+
+
+def test_primary_coverage_limits():
+    """alpha -> 1 well inside the silhouette, -> 0 well outside."""
+    camera = default_camera()
+    sp = glow_sphere_scene().spheres[0]
+    alpha = np.asarray(primary_coverage(sp.center, sp.r, camera, CFG, 0.02))
+    assert alpha.shape == (CFG.height, CFG.width)
+    cy, cx_ = CFG.height // 2, CFG.width // 2
+    assert alpha[cy, cx_] > 0.99      # disk center
+    assert alpha[0, 0] < 0.01         # far corner
+    assert np.isfinite(alpha).all()
+
+
+def test_drop_sphere():
+    s = glow_sphere_scene()
+    assert drop_sphere(s, 0).spheres == ()

@@ -1,0 +1,175 @@
+"""Multi-host (multi-process) smoke + scaling harness on CPU devices.
+
+The TPU-native framework scales across hosts with
+`jax.distributed.initialize` (DCN coordinates processes; collectives ride
+ICI within a slice — parallel/mesh.py). Real multi-host hardware isn't
+available in CI, so this script runs N actual OS processes of CPU-backed
+JAX on one machine — the same code path (`jax.distributed`, global mesh
+spanning all processes' devices, psum across process boundaries) with
+the network layer pointed at localhost.
+
+Modes:
+  parent (default): spawn N workers of itself, wait, aggregate their
+      JSON results, print one summary line.
+  worker (--worker I): initialize jax.distributed, render the sharded
+      workload + one gradient step, verify metrics, report rays/s.
+
+Usage:
+  python tools/multihost_run.py --nprocs 2            # smoke + scaling
+  python tools/multihost_run.py --nprocs 2 --frames 4 # more timing rounds
+
+The verification contract: the sharded per-pixel mean light and the
+scene-gradient norm computed over the 2-process global mesh must equal
+the single-process values (tests/test_multihost.py compares them).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WIDTH, HEIGHT, SAMPLES, BOUNCES = 32, 16, 4, 2
+DEVICES_PER_PROC = 4
+
+
+def worker(args) -> int:
+    # Running as a script puts tools/ (not the repo root) on sys.path.
+    sys.path.insert(0, str(REPO))
+    # Env (JAX_PLATFORMS / device count) is set by the parent BEFORE
+    # python starts; a site hook may still pin the accelerator platform
+    # via jax.config, so pin cpu back the way tests/conftest.py does.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.nprocs,
+        process_id=args.worker,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fourd_ray_tracing_tpu import camera as cam
+    from fourd_ray_tracing_tpu.diff import image_loss
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.models.renderer import RenderConfig
+    from fourd_ray_tracing_tpu.parallel.mesh import (
+        make_mesh,
+        sharded_render_light,
+    )
+    from fourd_ray_tracing_tpu.ops.vec4 import Vec4
+    from fourd_ray_tracing_tpu.utils.logging import is_host0, log0
+
+    n_dev = len(jax.devices())
+    assert n_dev == args.nprocs * DEVICES_PER_PROC, (
+        f"{n_dev} global devices, want {args.nprocs * DEVICES_PER_PROC}"
+    )
+    assert len(jax.local_devices()) == DEVICES_PER_PROC
+
+    # rays x samples mesh spanning BOTH processes: the samples axis is
+    # chosen to straddle the process boundary so the psum crosses it.
+    mesh = make_mesh(rays=n_dev // 2, samples=2)
+    cfg = RenderConfig(
+        width=WIDTH, height=HEIGHT, samples=SAMPLES,
+        reflections_amount=BOUNCES, rng_mode="per_sample",
+    )
+    scene = library.sphere_plane_light()
+    camera = cam.camera_from_state(
+        Vec4.of(0.0, -2.0, 0.0, 0.0),
+        cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        1.5, 2.0,
+    )
+
+    @jax.jit
+    def mean_light(scene, seed):
+        return jnp.mean(sharded_render_light(scene, camera, cfg, seed, mesh))
+
+    @jax.jit
+    def grad_norm(scene, seed):
+        g = jax.grad(
+            lambda s: jnp.mean(sharded_render_light(s, camera, cfg, seed, mesh))
+        )(scene)
+        import optax
+
+        return optax.global_norm(g)
+
+    m = float(mean_light(scene, jnp.uint32(7)))
+    gn = float(grad_norm(scene, jnp.uint32(7)))
+
+    # Timing rounds for the scaling report (compile excluded).
+    jax.block_until_ready(mean_light(scene, jnp.uint32(1)))
+    t0 = time.perf_counter()
+    for k in range(args.frames):
+        out = mean_light(scene, jnp.uint32(k + 2))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.frames
+    rays = WIDTH * HEIGHT * SAMPLES
+
+    log0(json.dumps({
+        "mode": "worker0",
+        "nprocs": args.nprocs,
+        "global_devices": n_dev,
+        "mean_light": m,
+        "grad_norm": gn,
+        "rays_per_s": rays / dt,
+    }))
+    assert is_host0() == (args.worker == 0)
+    return 0
+
+
+def parent(args) -> int:
+    env_base = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}",
+        # Each process must see ONLY its own virtual devices; distinct
+        # compile caches avoid write races between the workers.
+        "JAX_COMPILATION_CACHE_DIR": "",
+    }
+    procs = []
+    for i in range(args.nprocs):
+        cmd = [
+            sys.executable, str(Path(__file__).resolve()),
+            "--worker", str(i), "--nprocs", str(args.nprocs),
+            "--port", str(args.port), "--frames", str(args.frames),
+        ]
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=env_base,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    rc = 0
+    result = None
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=args.timeout)
+        if p.returncode != 0:
+            rc = p.returncode
+            sys.stderr.write(f"--- worker {i} rc={p.returncode}\n{err[-4000:]}\n")
+        for line in out.splitlines():
+            if line.startswith("{"):
+                result = json.loads(line)
+    if result is not None:
+        print(json.dumps(result))
+    return rc if result is not None or rc else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--port", type=int, default=52345)
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--timeout", type=float, default=600.0)
+    args = ap.parse_args(argv)
+    if args.worker is not None:
+        return worker(args)
+    return parent(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
