@@ -8,11 +8,22 @@ one per "window" (main YXZ section, plus the two additional YWZ/YXW
 sections when show_additional_windows is true, windows selected exactly
 like main.cpp:57-68).
 
+Per-window resolutions (windows.cpp:6-13, 24-28): the main window
+renders at window.main cells (850/7 -> 121x75 by default) and the two
+additional windows at window.additional cells (600/10 -> 60x37) — two
+launches per frame, the additional views batched into one. PNGs are
+written at cell resolution; --upscale replicates the sprite blit
+(windows.cpp:33), scaling each PNG by its window's cell_size.
+
 Interactive mode reads commands from stdin (the headless stand-in for
 mouse capture + WASD, controls.cpp:167-215):
 
     w/s/a/d/space/c/e/q [seconds]   move (default 0.25 s)
-    look <dfi> <dte> [dpsi]         rotate (radians)
+    mouse <dx> <dy>                 mouse-look, PIXEL deltas (dy = up);
+                                    scaled by mouse_sensitivity, offsets
+                                    beyond the border only recenter
+    wheel <delta>                   wheel clicks -> psi x wheel_sensitivity
+    look <dfi> <dte> [dpsi]         rotate (raw radians)
     frames <n>                      render n frames (accumulating)
     save [path]                     write current windows to PNG
     stats                           print rays/s + fps counters
@@ -51,19 +62,30 @@ KEYMAP = {
 
 
 def build_engine(app: AppConfig, deterministic: bool = False) -> RenderEngine:
-    """Engine from an AppConfig (initControls + initShader analogue)."""
+    """Engine from an AppConfig (initControls + initShader analogue).
+
+    With show_additional_windows, the YWZ/YXW sections render as a
+    SECOND view group at window.additional's cell resolution
+    (three_window_group.cpp:42-46 + windows.cpp:6-13) instead of
+    inheriting the main window's."""
     scene = library.SCENES[app.scene]()
-    views = cam.VIEWS_ALL if app.show_additional_windows else ("yxz",)
     win = app.main_window
-    cfg = RenderConfig(
-        width=win.cells_width,
-        height=win.cells_height,
-        samples=app.samples,
-        reflections_amount=app.reflections_amount,
-        small_indent=app.small_indent,
-        light_coefficient=app.light_to_color_conversion_coefficient,
-        rng_mode="per_sample",
-    )
+
+    def window_cfg(w):
+        return RenderConfig(
+            width=w.cells_width,
+            height=w.cells_height,
+            samples=app.samples,
+            reflections_amount=app.reflections_amount,
+            small_indent=app.small_indent,
+            light_coefficient=app.light_to_color_conversion_coefficient,
+            rng_mode="per_sample",
+        )
+
+    cfg = window_cfg(win)
+    additional = None
+    if app.show_additional_windows:
+        additional = (window_cfg(app.additional_window), ("ywz", "yxw"))
     c = app.camera
     psi_constraint = None
     if app.controls.constrain_psi_range:
@@ -71,6 +93,13 @@ def build_engine(app: AppConfig, deterministic: bool = False) -> RenderEngine:
             float(np.radians(c.psi_deg)),
             float(np.radians(app.controls.psi_range_radius_deg)),
         )
+    # maxMouseOffset = max(min(halfW, halfH) - border, 50) over the MAIN
+    # window's pixel size (controls.cpp:145).
+    half_w = win.cells_width * win.cell_size // 2
+    half_h = win.cells_height * win.cell_size // 2
+    max_mouse_offset = max(
+        min(half_w, half_h) - app.controls.mouse_border_width, 50
+    )
     return RenderEngine(
         scene,
         cfg,
@@ -82,15 +111,25 @@ def build_engine(app: AppConfig, deterministic: bool = False) -> RenderEngine:
         ),
         focus_to_matrix_distance=c.focus_to_matrix_distance,
         matrix_height=c.matrix_height,
-        views=views,
+        views=("yxz",),
         movement_speed=app.controls.movement_speed,
         psi_constraint=psi_constraint,
         deterministic=deterministic,
+        additional=additional,
+        mouse_sensitivity=app.controls.mouse_sensitivity,
+        wheel_sensitivity=app.controls.wheel_sensitivity,
+        max_mouse_offset=max_mouse_offset,
     )
 
 
-def save_windows(engine: RenderEngine, out_dir: Path, tag: str = "") -> list:
+def save_windows(
+    engine: RenderEngine, out_dir: Path, tag: str = "", upscale: dict | None = None
+) -> list:
     """Write one PNG per view window (the display() analogue).
+
+    ``upscale``: optional {view: cell_size} — replicate each pixel
+    cell_size x cell_size like the reference's sprite blit
+    (windows.cpp:33, sprite.setScale(cellSize, cellSize)).
 
     Host 0 only under multi-host (SURVEY §5): N hosts writing the same
     files to a shared filesystem would race."""
@@ -99,28 +138,44 @@ def save_windows(engine: RenderEngine, out_dir: Path, tag: str = "") -> list:
     if jax.process_index() != 0:
         return []
     out_dir.mkdir(parents=True, exist_ok=True)
-    acc = np.asarray(engine.accum)
     paths = []
-    if acc.ndim == 3:
-        acc = acc[None]
-    for view, img in zip(engine.views, acc):
+    for view, img in engine.windows():
+        s = (upscale or {}).get(view, 1)
+        if s > 1:
+            img = np.repeat(np.repeat(img, s, axis=0), s, axis=1)
         p = out_dir / f"{view}{tag}.png"
         write_png(p, img)
         paths.append(p)
     return paths
 
 
-def run_frames(engine: RenderEngine, meter: Meter, n: int, quiet=False):
+def run_frames(engine: RenderEngine, meter: Meter, n: int, quiet=False,
+               min_frame_seconds: float = 0.0):
+    """Step n frames; ``min_frame_seconds`` paces the loop like the
+    reference's framerate cap (windows.cpp:30 setFramerateLimit(maxFPS))."""
     for _ in range(n):
+        t0 = time.perf_counter()
         with meter.measure(engine.rays_per_frame()) as h:
             h["result"] = engine.step_frame()
+        leftover = min_frame_seconds - (time.perf_counter() - t0)
+        if leftover > 0:
+            time.sleep(leftover)
     if not quiet:
         log0(meter.stats.as_json())
 
 
-def interactive_loop(engine: RenderEngine, out_dir: Path) -> None:
+def interactive_loop(
+    engine: RenderEngine, out_dir: Path, upscale: dict | None = None,
+    min_frame_seconds: float = 0.0,
+) -> None:
     meter = Meter()
-    log0("interactive; commands: w/s/a/d/space/c/e/q, look, frames, save, stats, quit")
+    def frames(n):
+        run_frames(engine, meter, n, min_frame_seconds=min_frame_seconds)
+
+    log0(
+        "interactive; commands: w/s/a/d/space/c/e/q, mouse, wheel, look, "
+        "frames, save, stats, quit"
+    )
     for line in sys.stdin:
         parts = line.strip().split()
         if not parts:
@@ -131,18 +186,28 @@ def interactive_loop(engine: RenderEngine, out_dir: Path) -> None:
         elif cmd in KEYMAP:
             seconds = float(args[0]) if args else 0.25
             engine.move(KEYMAP[cmd], seconds)
-            run_frames(engine, meter, 1)
+            frames(1)
+        elif cmd == "mouse":
+            dx = int(args[0]) if len(args) > 0 else 0
+            dy = int(args[1]) if len(args) > 1 else 0
+            if engine.mouse_moved(dx, dy):
+                frames(1)
+            else:
+                log0("cursor recentered")
+        elif cmd == "wheel":
+            engine.wheel_scrolled(float(args[0]) if args else 1.0)
+            frames(1)
         elif cmd == "look":
             d_fi = float(args[0]) if len(args) > 0 else 0.0
             d_te = float(args[1]) if len(args) > 1 else 0.0
             d_psi = float(args[2]) if len(args) > 2 else 0.0
             engine.rotate(d_fi=d_fi, d_te=d_te, d_psi=d_psi)
-            run_frames(engine, meter, 1)
+            frames(1)
         elif cmd == "frames":
-            run_frames(engine, meter, int(args[0]) if args else 1)
+            frames(int(args[0]) if args else 1)
         elif cmd == "save":
             target = Path(args[0]) if args else out_dir
-            for p in save_windows(engine, target):
+            for p in save_windows(engine, target, upscale=upscale):
                 log0(f"wrote {p}")
         elif cmd == "stats":
             log0(meter.stats.as_json())
@@ -158,6 +223,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="out")
     ap.add_argument("--interactive", action="store_true")
     ap.add_argument("--deterministic", action="store_true")
+    ap.add_argument(
+        "--upscale", action="store_true",
+        help="scale PNGs by each window's cell_size (the sprite blit, "
+        "windows.cpp:33)",
+    )
     args = ap.parse_args(argv)
 
     app = AppConfig.load(args.config)
@@ -165,20 +235,28 @@ def main(argv=None) -> int:
         app = type(app)(**{**app.__dict__, "scene": args.scene})
     engine = build_engine(app, deterministic=args.deterministic)
     out_dir = Path(args.out)
+    upscale = None
+    if args.upscale:
+        upscale = {"yxz": app.main_window.cell_size,
+                   "ywz": app.additional_window.cell_size,
+                   "yxw": app.additional_window.cell_size}
 
+    res = [f"{g.cfg.width}x{g.cfg.height}:{','.join(g.views)}"
+           for g in engine.groups]
     log0(
-        f"scene={app.scene} views={engine.views} "
-        f"res={engine.cfg.width}x{engine.cfg.height} spp={engine.cfg.samples} "
+        f"scene={app.scene} windows={res} spp={engine.cfg.samples} "
         f"bounces={engine.cfg.reflections_amount} device={jax.devices()[0]}"
     )
     if args.interactive:
-        interactive_loop(engine, out_dir)
+        pace = 1.0 / app.max_fps if app.max_fps > 0 else 0.0
+        interactive_loop(engine, out_dir, upscale=upscale,
+                         min_frame_seconds=pace)
         return 0
 
     meter = Meter()
     t0 = time.perf_counter()
     run_frames(engine, meter, args.frames)
-    for p in save_windows(engine, out_dir):
+    for p in save_windows(engine, out_dir, upscale=upscale):
         log0(f"wrote {p}")
     log0(f"total {time.perf_counter() - t0:.2f}s")
     return 0

@@ -11,12 +11,31 @@ The TPU-native equivalent of the reference app driver (src/main.cpp:56-115):
   it in place — the explicit, race-free replacement for the reference's
   GL texture-feedback self-read (windows.cpp:42-45, flagged in SURVEY §5
   as undefined behavior NOT to replicate).
+
+View groups (src/windows/three_window_group.cpp): the main window and
+the additional windows render at DIFFERENT cell resolutions
+(windows.cpp:6-13, 24-28: 850/7 -> 121x75 vs 600/10 -> 60x37). The
+engine therefore owns a list of view groups — each a (config, views)
+pair with its own accumulation buffer and jitted step; the two
+additional views batch into ONE launch (a leading view axis), the main
+view is its own launch. All groups share the camera, seed and
+frame_number, exactly like the reference's three windows share one
+shader state.
+
+Camera state machine: when the native host layer builds
+(native/controls.cc — the reference's camera layer is C++ too), the
+interactive camera state lives in the C struct and rotations/movements
+run through it; camera.py remains the traced/differentiable math and the
+pure-Python fallback. Input mapping (controls.cpp:167-215): pixel
+deltas x mouse_sensitivity, wheel clicks x wheel_sensitivity, offsets
+beyond max_mouse_offset discarded (cursor recenter).
 """
 from __future__ import annotations
 
+import ctypes
 import time
 from dataclasses import replace
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +60,47 @@ def generate_seed(rng: np.random.Generator, wall_clock: bool = True) -> int:
     return s & 0xFFFFFFFF
 
 
+class _ViewGroup:
+    """One window group: views sharing a render resolution + accum."""
+
+    def __init__(self, cfg: RenderConfig, views: Tuple[str, ...], render, scene):
+        self.cfg = cfg
+        self.views = views
+        shape = (len(views), cfg.height, cfg.width, 3)
+        if len(views) == 1:
+            shape = shape[1:]
+        self.accum = jnp.zeros(shape, jnp.float32)
+
+        def step(scene_, accum, camera, seed, part):
+            frame = render(scene_, camera, cfg, seed)
+            return accumulate(accum, frame, part)
+
+        self._step = jax.jit(step, donate_argnums=(1,))
+
+    def camera(self, engine: "RenderEngine") -> cam.Camera:
+        orient = engine.orientation()
+        mtr_h = jnp.float32(engine.matrix_height)
+        if len(self.views) == 1:
+            top, right = cam.view_basis(orient, self.views[0])
+        else:
+            top, right = cam.batched_view_bases(orient, self.views)
+        return cam.Camera(
+            focus=engine.focus,
+            vec_to_mtr=orient.forward * jnp.float32(engine.focus_to_matrix_distance),
+            top=top,
+            right=right,
+            mtr_width=mtr_h * cam.GOLDEN,
+            mtr_height=mtr_h,
+        )
+
+
 class RenderEngine:
-    """Owns camera state + accumulation and steps frames.
+    """Owns camera state + per-group accumulation and steps frames.
 
     ``deterministic`` pins the seed sequence (no wall clock) so a frame
     sequence is reproducible from (scene, config, initial state).
+    ``additional`` renders extra views at their OWN resolution:
+    (RenderConfig, views) — the reference's additional-window group.
     """
 
     def __init__(
@@ -61,25 +116,49 @@ class RenderEngine:
         psi_constraint: Optional[tuple] = None,  # (center, radius) or None
         deterministic: bool = False,
         impl: str = "auto",  # "auto" | "pallas" | "xla"
+        additional: Optional[Tuple[RenderConfig, Sequence[str]]] = None,
+        mouse_sensitivity: float = 0.005,
+        wheel_sensitivity: float = 0.1,
+        max_mouse_offset: Optional[int] = None,
+        use_native_controls: str = "auto",  # "auto" | "native" | "python"
     ):
         self.scene = scene
         self.cfg = cfg
-        self.focus = focus
-        self.angles = angles.normalized(*(psi_constraint or (None, None)))
         self.views = tuple(views)
         self.focus_to_matrix_distance = float(focus_to_matrix_distance)
         self.matrix_height = float(matrix_height)
         self.movement_speed = float(movement_speed)
         self.psi_constraint = psi_constraint
+        self.mouse_sensitivity = float(mouse_sensitivity)
+        self.wheel_sensitivity = float(wheel_sensitivity)
+        self.max_mouse_offset = max_mouse_offset
         self.frame_number = 1
         self.seed = 0
         self._np_rng = np.random.default_rng(0 if deterministic else None)
         self._deterministic = deterministic
 
-        shape = (len(self.views), cfg.height, cfg.width, 3)
-        if len(self.views) == 1:
-            shape = shape[1:]
-        self.accum = jnp.zeros(shape, jnp.float32)
+        # --- camera state: native C struct when available ---------------
+        self._native = None
+        # Initial angles normalize like SphOrientation::init (controls.cpp:29-39).
+        norm_angles = angles.normalized(*(psi_constraint or (None, None)))
+        if use_native_controls in ("auto", "native"):
+            try:
+                from fourd_ray_tracing_tpu.native import binding
+
+                self._native = binding.new_camera_state(
+                    fi=float(norm_angles.fi), te=float(norm_angles.te),
+                    psi=float(norm_angles.psi),
+                    focus=tuple(float(np.asarray(c)) for c in focus),
+                    psi_constraint=psi_constraint,
+                )
+                self._binding = binding
+            except Exception:
+                if use_native_controls == "native":
+                    raise
+                self._native = None
+        if self._native is None:
+            self.angles = norm_angles
+            self.focus = focus
 
         if impl == "auto":
             # The megakernel needs a real TPU (interpret mode is far
@@ -101,59 +180,137 @@ class RenderEngine:
             # Inside the jitted step the scene leaves are Tracers, so the
             # megakernel's own hint derivation would silently no-op —
             # derive the static hyperplane zero-component hints from the
-            # CONCRETE scene here, once, and bake them into the config.
-            if cfg.intersect == "fast" and cfg.plane_hints is None:
-                hints = plane_norm_hints(scene)
-                if hints is not None:
-                    cfg = replace(cfg, plane_hints=hints)
-                    self.cfg = cfg
+            # CONCRETE scene here, once, and bake them into the configs.
+            hints = (
+                plane_norm_hints(scene)
+                if cfg.intersect == "fast" and cfg.plane_hints is None
+                else None
+            )
+            if hints is not None:
+                cfg = replace(cfg, plane_hints=hints)
+                self.cfg = cfg
+                if additional is not None and additional[0].plane_hints is None:
+                    additional = (replace(additional[0], plane_hints=hints),
+                                  additional[1])
         else:
             render = render_image
         self.impl = impl
 
-        def step(scene_, accum, camera, seed, part):
-            frame = render(scene_, camera, cfg, seed)
-            return accumulate(accum, frame, part)
-
-        self._step = jax.jit(step, donate_argnums=(1,))
+        self.groups: List[_ViewGroup] = [_ViewGroup(cfg, self.views, render, scene)]
+        if additional is not None:
+            add_cfg, add_views = additional
+            self.groups.append(_ViewGroup(add_cfg, tuple(add_views), render, scene))
 
     # --- camera state machine (L3 analogue) ---------------------------
 
-    def _camera(self) -> cam.Camera:
-        orient = cam.orientation_from_angles(
-            self.angles.fi, self.angles.te, self.angles.psi
-        )
-        mtr_h = jnp.float32(self.matrix_height)
-        if len(self.views) == 1:
-            top, right = cam.view_basis(orient, self.views[0])
+    @property
+    def focus(self) -> Vec4:
+        if self._native is not None:
+            f = self._native.focus
+            return Vec4.of(f[0], f[1], f[2], f[3])
+        return self._focus
+
+    @focus.setter
+    def focus(self, v: Vec4):
+        if self._native is not None:
+            for i, c in enumerate((v.x, v.y, v.z, v.w)):
+                self._native.focus[i] = float(np.asarray(c))
         else:
-            top, right = cam.batched_view_bases(orient, self.views)
-        return cam.Camera(
-            focus=self.focus,
-            vec_to_mtr=orient.forward * jnp.float32(self.focus_to_matrix_distance),
-            top=top,
-            right=right,
-            mtr_width=mtr_h * cam.GOLDEN,
-            mtr_height=mtr_h,
+            self._focus = v
+
+    @property
+    def angles(self) -> cam.CameraAngles:
+        if self._native is not None:
+            s = self._native
+            return cam.CameraAngles(
+                jnp.float32(s.fi), jnp.float32(s.te), jnp.float32(s.psi)
+            )
+        return self._angles
+
+    @angles.setter
+    def angles(self, a: cam.CameraAngles):
+        if self._native is not None:
+            s = self._native
+            s.fi, s.te, s.psi = float(a.fi), float(a.te), float(a.psi)
+            self._binding.load().fourd_camera_update(ctypes.byref(s))
+        else:
+            self._angles = a
+
+    def orientation(self) -> cam.Orientation:
+        """Camera basis — straight from the native state machine when it
+        drives the viewer, else derived from the Python angles."""
+        if self._native is not None:
+            s = self._native
+            v = lambda f: Vec4.of(f[0], f[1], f[2], f[3])
+            return cam.Orientation(
+                v(s.forward), v(s.top), v(s.right), v(s.w_drct),
+                v(s.h_forward), v(s.h_right), v(s.v_top),
+            )
+        return cam.orientation_from_angles(
+            self._angles.fi, self._angles.te, self._angles.psi
         )
+
+    def _camera(self) -> cam.Camera:
+        return self.groups[0].camera(self)
 
     def reset_accumulation(self):
         self.frame_number = 1
 
     def rotate(self, d_fi: float = 0.0, d_te: float = 0.0, d_psi: float = 0.0):
-        """Mouse-look / wheel analogue (controls.cpp:173-191)."""
-        a = cam.CameraAngles(
-            self.angles.fi + jnp.float32(d_fi),
-            self.angles.te + jnp.float32(d_te),
-            self.angles.psi + jnp.float32(d_psi),
-        )
-        self.angles = a.normalized(*(self.psi_constraint or (None, None)))
+        """Mouse-look / wheel analogue (controls.cpp:173-191), in radians."""
+        if self._native is not None:
+            self._binding.rotate(self._native, d_fi, d_te, d_psi)
+        else:
+            a = cam.CameraAngles(
+                self._angles.fi + jnp.float32(d_fi),
+                self._angles.te + jnp.float32(d_te),
+                self._angles.psi + jnp.float32(d_psi),
+            )
+            self._angles = a.normalized(*(self.psi_constraint or (None, None)))
         self.reset_accumulation()
+
+    def mouse_moved(self, dx: int, dy: int) -> bool:
+        """Pixel-delta mouse look (controls.cpp:173-185): dx right, dy UP
+        (the reference computes dy = halfH - y). Offsets beyond
+        max_mouse_offset only recenter the cursor — no rotation. Returns
+        True iff the camera rotated."""
+        if self.max_mouse_offset is not None and (
+            abs(dx) > self.max_mouse_offset or abs(dy) > self.max_mouse_offset
+        ):
+            return False
+        if dx == 0 and dy == 0:
+            return False
+        self.rotate(
+            d_fi=dx * self.mouse_sensitivity, d_te=dy * self.mouse_sensitivity
+        )
+        return True
+
+    def wheel_scrolled(self, delta: float) -> None:
+        """Vertical wheel -> psi (controls.cpp:187-191)."""
+        self.rotate(d_psi=delta * self.wheel_sensitivity)
 
     def move(self, keys: cam.MoveKeys, seconds: float):
         """Keyboard movement (controls.cpp:118-134)."""
+        if self._native is not None:
+            from fourd_ray_tracing_tpu.native import binding as b
+
+            mask = 0
+            for flag, bit in (
+                (keys.forward, b.KEY_FORWARD), (keys.back, b.KEY_BACK),
+                (keys.right, b.KEY_RIGHT), (keys.left, b.KEY_LEFT),
+                (keys.top, b.KEY_TOP), (keys.down, b.KEY_DOWN),
+                (keys.w_pos, b.KEY_W_POS), (keys.w_neg, b.KEY_W_NEG),
+            ):
+                if flag:
+                    mask |= bit
+            moved = self._binding.move(
+                self._native, mask, float(seconds), self.movement_speed
+            )
+            if moved:
+                self.reset_accumulation()
+            return
         orient = cam.orientation_from_angles(
-            self.angles.fi, self.angles.te, self.angles.psi
+            self._angles.fi, self._angles.te, self._angles.psi
         )
         new_focus, moved = cam.move_focus(
             self.focus, orient, keys, jnp.float32(seconds),
@@ -165,23 +322,42 @@ class RenderEngine:
 
     # --- frame step (L2 analogue) --------------------------------------
 
+    @property
+    def accum(self) -> jnp.ndarray:
+        """Main group's accumulation buffer (compat accessor)."""
+        return self.groups[0].accum
+
     def step_frame(self) -> jnp.ndarray:
-        """Render one frame and blend into the accumulation buffer."""
+        """Render one frame into every group's accumulation buffer;
+        returns the main group's."""
         self.seed ^= generate_seed(self._np_rng, wall_clock=not self._deterministic)
         part = 1.0 / float(self.frame_number)
         self.frame_number += 1
-        self.accum = self._step(
-            self.scene, self.accum, self._camera(), np.uint32(self.seed),
-            np.float32(part),
-        )
-        return self.accum
+        for g in self.groups:
+            g.accum = g._step(
+                self.scene, g.accum, g.camera(self), np.uint32(self.seed),
+                np.float32(part),
+            )
+        return self.groups[0].accum
 
     def run(self, n_frames: int) -> jnp.ndarray:
         for _ in range(n_frames):
             self.step_frame()
-        return self.accum
+        return self.groups[0].accum
+
+    def windows(self) -> List[Tuple[str, np.ndarray]]:
+        """(view_name, HxWx3 image) per window across all groups — the
+        presentation-layer contract (one PNG per window)."""
+        out = []
+        for g in self.groups:
+            acc = np.asarray(g.accum)
+            if acc.ndim == 3:
+                acc = acc[None]
+            out.extend(zip(g.views, acc))
+        return out
 
     def rays_per_frame(self) -> int:
-        return (
-            len(self.views) * self.cfg.width * self.cfg.height * self.cfg.samples
+        return sum(
+            len(g.views) * g.cfg.width * g.cfg.height * g.cfg.samples
+            for g in self.groups
         )

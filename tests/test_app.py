@@ -88,6 +88,57 @@ def test_headless_main_three_views(tiny_config, tmp_path):
     ])
     assert rc == 0
     assert {q.stem for q in out.glob("*.png")} == {"yxz", "ywz", "yxw"}
+    # Additional views render at window.additional cells (60/10=6 wide,
+    # (60/GOLDEN=37)//10=3 high), NOT the main window's resolution.
+    assert read_png_header(out / "yxz.png")[:2] == (24, 14)
+    assert read_png_header(out / "ywz.png")[:2] == (6, 3)
+    assert read_png_header(out / "yxw.png")[:2] == (6, 3)
+
+
+def test_reference_window_resolutions(tmp_path):
+    """The VERDICT #3 acceptance: the reference's default window config
+    (window.main 850/7, window.additional 600/10 — properties.txt:6-13)
+    yields a 121x75 main PNG and two 60x37 additional PNGs
+    (windows.cpp:6-13, 24-28)."""
+    cfg_text = (
+        TINY_CONFIG
+        .replace("show_additional_windows = false", "show_additional_windows = true")
+        .replace("window.main.width = 96", "window.main.width = 850")
+        .replace("window.main.cell_size = 4", "window.main.cell_size = 7")
+        .replace("window.additional.width = 60", "window.additional.width = 600")
+        .replace("ray_tracing.samples = 2", "ray_tracing.samples = 1")
+        .replace("ray_tracing.reflections_amount = 2",
+                 "ray_tracing.reflections_amount = 0")
+    )
+    p = tmp_path / "pref.txt"
+    p.write_text(cfg_text)
+    out = tmp_path / "outref"
+    rc = app_mod.main([
+        "--config", str(p), "--frames", "1", "--out", str(out),
+        "--deterministic",
+    ])
+    assert rc == 0
+    assert read_png_header(out / "yxz.png")[:2] == (121, 75)
+    assert read_png_header(out / "ywz.png")[:2] == (60, 37)
+    assert read_png_header(out / "yxw.png")[:2] == (60, 37)
+
+
+def test_upscale_blit(tiny_config, tmp_path):
+    """--upscale replicates each pixel cell_size x cell_size, like the
+    sprite blit (windows.cpp:33)."""
+    cfg_text = TINY_CONFIG.replace(
+        "show_additional_windows = false", "show_additional_windows = true"
+    )
+    p = tmp_path / "pu.txt"
+    p.write_text(cfg_text)
+    out = tmp_path / "outu"
+    rc = app_mod.main([
+        "--config", str(p), "--frames", "1", "--out", str(out),
+        "--deterministic", "--upscale",
+    ])
+    assert rc == 0
+    assert read_png_header(out / "yxz.png")[:2] == (24 * 4, 14 * 4)
+    assert read_png_header(out / "ywz.png")[:2] == (6 * 10, 3 * 10)
 
 
 def test_interactive_loop_commands(tiny_config, tmp_path, monkeypatch, capsys):
@@ -104,6 +155,43 @@ def test_interactive_loop_commands(tiny_config, tmp_path, monkeypatch, capsys):
     assert "unknown command: bogus" in text
     assert "rays_per_s" in text
     assert list(save_dir.glob("*.png"))
+
+
+def test_interactive_mouse_and_wheel(tiny_config, tmp_path, monkeypatch, capsys):
+    """The pixel-delta input path (controls.cpp:167-215): mouse deltas x
+    mouse_sensitivity drive fi/te, wheel x wheel_sensitivity drives psi,
+    offsets beyond the border only recenter the cursor."""
+    import io
+
+    cmds = "mouse 10 5\nwheel 2\nmouse 9999 0\nquit\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(cmds))
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--interactive",
+        "--out", str(tmp_path / "out"), "--deterministic",
+    ])
+    assert rc == 0
+    assert "cursor recentered" in capsys.readouterr().out
+
+
+def test_mouse_sensitivity_maps_pixels_to_radians(tiny_config):
+    app = AppConfig.load(tiny_config)
+    eng = app_mod.build_engine(app, deterministic=True)
+    fi0, te0 = float(eng.angles.fi), float(eng.angles.te)
+    assert eng.mouse_moved(10, -4)
+    # dfi = dx * mouse_sensitivity (controls.cpp:179), dte = dy * sens.
+    np.testing.assert_allclose(float(eng.angles.fi) - fi0,
+                               10 * app.controls.mouse_sensitivity, atol=1e-6)
+    np.testing.assert_allclose(float(eng.angles.te) - te0,
+                               -4 * app.controls.mouse_sensitivity, atol=1e-6)
+    psi0 = float(eng.angles.psi)
+    eng.wheel_scrolled(3.0)
+    np.testing.assert_allclose(float(eng.angles.psi) - psi0,
+                               3.0 * app.controls.wheel_sensitivity, atol=1e-6)
+    # border: max_mouse_offset = max(min(48, 29) - 15, 50) = 50
+    assert eng.max_mouse_offset == 50
+    fi1 = float(eng.angles.fi)
+    assert not eng.mouse_moved(51, 0)  # beyond the border: recenter only
+    assert float(eng.angles.fi) == fi1
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -86,3 +86,76 @@ def test_psi_constraint_clamps():
     eng = make_engine(psi_constraint=(0.0, np.float32(np.radians(45))))
     eng.rotate(d_psi=10.0)
     assert abs(float(eng.angles.psi)) <= np.radians(45) + 1e-5
+
+
+def test_native_and_python_controls_agree():
+    """The native camera state machine (controls.cc) drives the viewer in
+    production; it must track the pure-Python camera exactly through a
+    rotation/movement sequence."""
+    import pytest
+
+    try:
+        from fourd_ray_tracing_tpu.native import binding
+        binding.load()
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    engines = [
+        make_engine(use_native_controls=mode, psi_constraint=(0.0, 0.8))
+        for mode in ("native", "python")
+    ]
+    assert engines[0]._native is not None and engines[1]._native is None
+    for eng in engines:
+        eng.rotate(d_fi=0.3, d_te=-0.2, d_psi=0.5)
+        eng.mouse_sensitivity = 0.01
+        assert eng.mouse_moved(7, -3)
+        eng.wheel_scrolled(2.5)
+        eng.move(cam.MoveKeys(forward=True, right=True, w_pos=True), 0.4)
+        eng.rotate(d_fi=4.0)  # wraps past pi
+    a, b = engines
+    for name in ("fi", "te", "psi"):
+        np.testing.assert_allclose(
+            float(getattr(a.angles, name)), float(getattr(b.angles, name)),
+            atol=1e-6, err_msg=name,
+        )
+    for va, vb in zip(a.focus, b.focus):
+        np.testing.assert_allclose(float(va), float(vb), atol=1e-6)
+    oa, ob = a.orientation(), b.orientation()
+    for f in ("forward", "top", "right", "w_drct"):
+        for ca, cb in zip(getattr(oa, f), getattr(ob, f)):
+            np.testing.assert_allclose(float(ca), float(cb), atol=1e-6)
+
+
+def test_additional_group_resolution_and_windows():
+    eng = RenderEngine(
+        library.tiger(),
+        RenderConfig(width=16, height=12, samples=1, reflections_amount=1),
+        focus=Vec4.of(0, -2, 0, 0),
+        angles=cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        views=("yxz",),
+        additional=(
+            RenderConfig(width=8, height=5, samples=1, reflections_amount=1),
+            ("ywz", "yxw"),
+        ),
+        deterministic=True,
+    )
+    eng.step_frame()
+    wins = dict(eng.windows())
+    assert set(wins) == {"yxz", "ywz", "yxw"}
+    assert wins["yxz"].shape == (12, 16, 3)
+    assert wins["ywz"].shape == (5, 8, 3)
+    assert wins["yxw"].shape == (5, 8, 3)
+    assert eng.rays_per_frame() == 16 * 12 + 2 * 8 * 5
+    # Additional views must equal a standalone render at their own
+    # resolution (same camera, same seed).
+    from fourd_ray_tracing_tpu.models.renderer import render_image
+
+    cfga = eng.groups[1].cfg
+    direct = np.asarray(render_image(
+        eng.scene, eng.groups[1].camera(eng), cfga, np.uint32(eng.seed)
+    ))
+    from helpers import assert_images_close
+
+    # jit (fused accumulate) vs eager: silhouette pixels may flip.
+    assert_images_close(np.asarray(eng.groups[1].accum), direct,
+                        atol=1e-5, boundary_frac=0.06)
