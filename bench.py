@@ -1,21 +1,41 @@
-"""North-star benchmark: rays/s on the room-with-sphere scene.
+"""North-star benchmarks: rays/s on the five canonical workloads.
 
-Workload per BASELINE.md: 1280x720 pixels x 8 spp x 4 bounces (up to 5
-ray segments per path), room-with-sphere scene, production sampler
-(fixed-iteration Kepler inverse-CDF) and per-sample RNG streams.
+Default (BENCH_MODE=full) runs every BASELINE.md workload:
 
-Prints ONE JSON line: {"metric": "rays_per_second", "value": N,
-"unit": "rays/s", "vs_baseline": N} where vs_baseline is relative to the
-1 Gray/s/chip north-star target (BASELINE.json; the reference itself
-publishes no numbers).
+  1. sphere_plane_light  256x256 x 1 spp x 2 bounces, single view
+  2. room_with_sphere    1280x720 x 8 spp x 4 bounces  (the HEADLINE)
+  3. hypercube           1280x720 x 8 spp x 4 bounces  (diffuse sampler hot)
+  4. duocylinder+tiger   three simultaneous section views (xyz/ywz/yxw),
+                         батched as a leading view axis in ONE launch
+  5. inverse rendering   loss+grad step on room_with_sphere (jnp pipeline
+                         with per-sample remat; the Pallas kernel is the
+                         forward-only production path)
 
-"rays" counts traced paths (pixels x samples), the same unit the
-reference's implied workload uses (SURVEY §6: cells x spp traces/frame).
+Each workload times >= BENCH_ROUNDS rounds of BENCH_FRAMES frames after a
+warmup and reports min/median/max rays/s (the tunneled TPU's throughput
+drifts over minutes, so a single round is not trustworthy —
+tools/ab_bench.py). Per-workload JSON lines go to stdout; the FINAL line
+is the headline (room-with-sphere median) in the driver's schema:
+
+  {"metric": "rays_per_second", "value": N, "unit": "rays/s",
+   "vs_baseline": N}   # vs the 1 Gray/s/chip north star (BASELINE.md:18)
+
+Roofline accounting (SURVEY §5): per-workload FLOPs/ray from XLA's cost
+analysis of the identical-math jnp pipeline, reported as achieved
+GFLOP/s; the workload streams ~nothing from HBM (scene in SMEM, image
+written once), so arithmetic intensity is effectively infinite and the
+kernel is VPU-compute-bound. Set BENCH_VPU_PEAK_GFLOPS to your chip's
+fp32 VPU peak to get an MFU figure.
+
+BENCH_MODE=single preserves the old env-knob behavior (used by
+tools/ab_bench.py): one workload from BENCH_{SCENE,WIDTH,...}, one line.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import sys
 import time
 
 import jax
@@ -31,8 +51,10 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", 1280))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 720))
 SAMPLES = int(os.environ.get("BENCH_SAMPLES", 8))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", 4))
-FRAMES = int(os.environ.get("BENCH_FRAMES", 10))
+FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 5))
 SCENE = os.environ.get("BENCH_SCENE", "room_with_sphere")
+MODE = os.environ.get("BENCH_MODE", "full")
 # "pallas" (megakernel, default) or "xla" (jnp pipeline)
 IMPL = os.environ.get("BENCH_IMPL", "pallas")
 # "unroll" (fastest steady-state) or "fori" (fastest compile)
@@ -41,31 +63,55 @@ TILE_SUBLANES = int(os.environ.get("BENCH_TILE_SUBLANES", 32))
 SAMPLER = os.environ.get("BENCH_SAMPLER", "poly")
 INTERSECT = os.environ.get("BENCH_INTERSECT", "fast")
 SAMPLER_ITERS = int(os.environ.get("BENCH_SAMPLER_ITERS", 2))
+VPU_PEAK_GFLOPS = float(os.environ.get("BENCH_VPU_PEAK_GFLOPS", 0))
 TARGET_RAYS_PER_S = 1e9  # north-star: >= 1 Gray/s per chip
 
 
-def make_renderer():
-    cfg = RenderConfig(
-        width=WIDTH,
-        height=HEIGHT,
-        samples=SAMPLES,
-        reflections_amount=BOUNCES,
-        light_coefficient=0.12,
-        sampler_method=SAMPLER,
-        rng_mode="per_sample",
-        bounce_loop=LOOP,
-        tile_sublanes=TILE_SUBLANES,
-        sampler_iters=SAMPLER_ITERS,
-        intersect=INTERSECT,
-    )
-    scene = library.SCENES[SCENE]()
-    camera = cam.camera_from_state(
+def default_camera(views=("yxz",)):
+    angles = cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    if len(views) == 1:
+        return cam.camera_from_state(
+            focus=Vec4.of(0.0, -2.0, 0.0, 0.0), angles=angles,
+            focus_to_matrix_distance=1.5, matrix_height=2.0, view=views[0],
+        )
+    orient = cam.orientation_from_angles(angles.fi, angles.te, angles.psi)
+    tops, rights = cam.batched_view_bases(orient, views)
+    return cam.Camera(
         focus=Vec4.of(0.0, -2.0, 0.0, 0.0),
-        angles=cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
-        focus_to_matrix_distance=1.5,
-        matrix_height=2.0,
+        vec_to_mtr=orient.forward * jnp.float32(1.5),
+        top=tops, right=rights,
+        mtr_width=jnp.float32(2.0) * cam.GOLDEN, mtr_height=jnp.float32(2.0),
     )
-    if IMPL == "pallas":
+
+
+def build_cfg(width, height, samples, bounces, loop=None):
+    return RenderConfig(
+        width=width, height=height, samples=samples,
+        reflections_amount=bounces, light_coefficient=0.12,
+        sampler_method=SAMPLER, rng_mode="per_sample",
+        bounce_loop=loop or LOOP, tile_sublanes=TILE_SUBLANES,
+        sampler_iters=SAMPLER_ITERS, intersect=INTERSECT,
+    )
+
+
+def make_renderer(scene_name=None, cfg=None, views=("yxz",), impl=None):
+    """(jitted seed->image fn, rays/frame). Kept import-stable for
+    tools/ab_bench.py."""
+    cfg = cfg or build_cfg(WIDTH, HEIGHT, SAMPLES, BOUNCES)
+    scene = library.SCENES[scene_name or SCENE]()
+    if os.environ.get("BENCH_PAIRS") == "off" and cfg.intersect == "fast":
+        # A/B knob: pre-set hints WITHOUT wall pairs so the pallas entry
+        # point skips its auto hints+pairs derivation.
+        import dataclasses
+
+        from fourd_ray_tracing_tpu.models.scene import plane_norm_hints
+
+        hints = plane_norm_hints(scene)
+        if hints is not None:
+            cfg = dataclasses.replace(cfg, plane_hints=hints)
+    camera = default_camera(views)
+    impl = impl or IMPL
+    if impl == "pallas":
         from fourd_ray_tracing_tpu.ops.pallas.megakernel import render_image_pallas
 
         return jax.jit(lambda seed: render_image_pallas(scene, camera, cfg, seed))
@@ -74,29 +120,147 @@ def make_renderer():
     return jax.jit(lambda seed: render_image(scene, camera, cfg, seed))
 
 
-def main():
-    fn = make_renderer()
-    out = jax.block_until_ready(fn(np.uint32(1)))  # compile + warm
-    assert bool(jnp.isfinite(out).all()), "non-finite pixels in bench render"
+def flops_per_ray(scene_name, cfg, views=("yxz",)):
+    """XLA cost analysis of the identical-math jnp pipeline at a tiny
+    resolution -> FLOPs per traced path (the Pallas kernel runs the same
+    ops). Returns None if the backend exposes no analysis."""
+    try:
+        from fourd_ray_tracing_tpu.models.renderer import render_image
+        import dataclasses
 
-    t0 = time.perf_counter()
-    for i in range(FRAMES):
-        out = fn(np.uint32(i + 2))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / FRAMES
-
-    rays = WIDTH * HEIGHT * SAMPLES
-    rays_per_s = rays / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_second",
-                "value": rays_per_s,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_s / TARGET_RAYS_PER_S,
-            }
+        small = dataclasses.replace(
+            cfg, width=64, height=32, plane_hints=None, plane_pairs=None
         )
+        scene = library.SCENES[scene_name]()
+        camera = default_camera(views)
+        compiled = (
+            jax.jit(lambda seed: render_image(scene, camera, small, seed))
+            .lower(np.uint32(1)).compile()
+        )
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        rays = len(views) * small.width * small.height * small.samples
+        return flops / rays if flops > 0 else None
+    except Exception:
+        return None
+
+
+def time_rounds(fn, rays, frames=FRAMES, rounds=ROUNDS):
+    """min/median/max rays/s over timing rounds (compile excluded)."""
+    jax.block_until_ready(fn(np.uint32(1)))  # compile + warm
+    rates = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        for i in range(frames):
+            out = fn(np.uint32(100 * r + i + 2))
+        jax.block_until_ready(out)
+        rates.append(rays * frames / (time.perf_counter() - t0))
+    return min(rates), statistics.median(rates), max(rates)
+
+
+def emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def run_forward_workload(name, scene_name, width, height, samples, bounces,
+                         views=("yxz",), loop=None):
+    cfg = build_cfg(width, height, samples, bounces, loop=loop)
+    fn = make_renderer(scene_name, cfg, views)
+    rays = len(views) * width * height * samples
+    out = jax.block_until_ready(fn(np.uint32(1)))
+    assert bool(jnp.isfinite(out).all()), f"non-finite pixels in {name}"
+    lo, med, hi = time_rounds(fn, rays)
+    fpr = flops_per_ray(scene_name, cfg, views)
+    payload = {
+        "metric": "rays_per_second", "workload": name, "scene": scene_name,
+        "value": med, "min": lo, "max": hi, "unit": "rays/s",
+        "rays_per_frame": rays,
+        "vs_baseline": med / TARGET_RAYS_PER_S,
+    }
+    if fpr is not None:
+        payload["flops_per_ray"] = round(fpr, 1)
+        payload["achieved_gflops"] = round(med * fpr / 1e9, 1)
+        if VPU_PEAK_GFLOPS > 0:
+            payload["mfu_vs_vpu_peak"] = round(med * fpr / 1e9 / VPU_PEAK_GFLOPS, 3)
+    emit(payload)
+    return med
+
+
+def run_grad_workload(width, height, samples, bounces):
+    """Inverse-rendering step: loss + full scene gradient, jnp pipeline
+    (per-sample remat). Reported as grad_rays_per_second where a "ray"
+    is one traced path of the forward (the backward re-traces each)."""
+    from fourd_ray_tracing_tpu.diff import image_loss
+
+    cfg = RenderConfig(
+        width=width, height=height, samples=samples,
+        reflections_amount=bounces, light_coefficient=0.12,
+        sampler_method=SAMPLER, rng_mode="per_sample", intersect="fast",
     )
+    scene = library.SCENES["room_with_sphere"]()
+    camera = default_camera()
+    target = jnp.zeros((height, width, 3), jnp.float32)
+
+    vg = jax.jit(
+        lambda s, seed: jax.value_and_grad(image_loss)(s, camera, cfg, seed, target)
+    )
+
+    def fn(seed):
+        loss, grads = vg(scene, seed)
+        return loss
+
+    rays = width * height * samples
+    loss = jax.block_until_ready(fn(np.uint32(1)))
+    assert bool(jnp.isfinite(loss)), "non-finite loss in grad bench"
+    lo, med, hi = time_rounds(fn, rays, frames=max(1, FRAMES // 4))
+    emit({
+        "metric": "grad_rays_per_second", "workload": "inverse_step",
+        "scene": "room_with_sphere", "value": med, "min": lo, "max": hi,
+        "unit": "rays/s", "rays_per_frame": rays,
+        "vs_baseline": med / TARGET_RAYS_PER_S,
+    })
+    return med
+
+
+def main():
+    if MODE == "single":
+        cfg = build_cfg(WIDTH, HEIGHT, SAMPLES, BOUNCES)
+        fn = make_renderer(SCENE, cfg)
+        rays = WIDTH * HEIGHT * SAMPLES
+        out = jax.block_until_ready(fn(np.uint32(1)))
+        assert bool(jnp.isfinite(out).all())
+        lo, med, hi = time_rounds(fn, rays)
+        emit({"metric": "rays_per_second", "value": med, "min": lo, "max": hi,
+              "unit": "rays/s", "vs_baseline": med / TARGET_RAYS_PER_S})
+        return
+
+    grad_res = (
+        int(os.environ.get("BENCH_GRAD_WIDTH", 640)),
+        int(os.environ.get("BENCH_GRAD_HEIGHT", 360)),
+    )
+    run_forward_workload(
+        "sphere_plane_light_256", "sphere_plane_light", 256, 256, 1, 2)
+    headline = run_forward_workload(
+        "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES, BOUNCES)
+    run_forward_workload(
+        "hypercube_1280x720x8x4", "hypercube", WIDTH, HEIGHT, SAMPLES, BOUNCES)
+    # Heavy-compile three-view workloads run the fori loop (identical
+    # images; unrolled tiger kernels compile for 10+ minutes).
+    run_forward_workload(
+        "duocylinder_3view", "duocylinder", WIDTH, HEIGHT, SAMPLES, BOUNCES,
+        views=cam.VIEWS_ALL, loop="fori")
+    run_forward_workload(
+        "tiger_3view", "tiger", WIDTH, HEIGHT, SAMPLES, BOUNCES,
+        views=cam.VIEWS_ALL, loop="fori")
+    run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
+
+    # The driver parses the LAST line: headline = room-with-sphere median.
+    emit({
+        "metric": "rays_per_second", "value": headline, "unit": "rays/s",
+        "vs_baseline": headline / TARGET_RAYS_PER_S,
+    })
 
 
 if __name__ == "__main__":

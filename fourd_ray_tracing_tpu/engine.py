@@ -171,7 +171,10 @@ class RenderEngine:
                 else "xla"
             )
         if impl == "pallas":
-            from fourd_ray_tracing_tpu.models.scene import plane_norm_hints
+            from fourd_ray_tracing_tpu.models.scene import (
+                plane_norm_hints,
+                plane_pair_hints,
+            )
             from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
                 render_image_pallas,
             )
@@ -187,11 +190,15 @@ class RenderEngine:
                 else None
             )
             if hints is not None:
-                cfg = replace(cfg, plane_hints=hints)
+                pairs = plane_pair_hints(scene, hints)
+                cfg = replace(cfg, plane_hints=hints, plane_pairs=pairs)
                 self.cfg = cfg
                 if additional is not None and additional[0].plane_hints is None:
-                    additional = (replace(additional[0], plane_hints=hints),
-                                  additional[1])
+                    additional = (
+                        replace(additional[0], plane_hints=hints,
+                                plane_pairs=pairs),
+                        additional[1],
+                    )
         else:
             render = render_image
         self.impl = impl

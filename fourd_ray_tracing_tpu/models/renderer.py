@@ -98,6 +98,11 @@ class RenderConfig:
     # Pallas entry point, never by the jnp/autodiff path (hinted normal
     # components would get zero gradients).
     plane_hints: tuple | None = None
+    # Static opposite-wall pairs ((pairs, singles) from
+    # models.scene.plane_pair_hints): closed-box scenes fold each wall
+    # pair as ONE candidate (one division + fold step instead of two).
+    # Same production-only contract as plane_hints.
+    plane_pairs: tuple | None = None
 
 
 def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):
@@ -178,7 +183,8 @@ def trace_rays(
             inter = first
         else:
             inter = intersect_scene(
-                scene, o, d, cfg.intersect, plane_hints=cfg.plane_hints
+                scene, o, d, cfg.intersect,
+                plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
             )
 
         env_on = scene.environment is not None and scene.environment.enabled
@@ -272,13 +278,13 @@ def render_light_tile(
     and must be explicitly cast to device-varying for shard_map's
     replication checker (check_vma) to type the sample fori_loop.
     """
-    if cfg.plane_hints is not None:
+    if cfg.plane_hints is not None or cfg.plane_pairs is not None:
         # Hints zero out gradients w.r.t. the hinted normal components;
         # they are an internal detail of the (forward-only) Pallas entry
         # point and must never reach the jnp/autodiff pipeline.
         raise ValueError(
-            "plane_hints is Pallas-internal; the jnp renderer (autodiff "
-            "path) must run without hints"
+            "plane_hints/plane_pairs are Pallas-internal; the jnp renderer "
+            "(autodiff path) must run without hints"
         )
     if n_rows is None:
         n_rows = cfg.height

@@ -89,8 +89,60 @@ def plane_norm_hints(scene: Scene):
     return tuple(hints) if hints else None
 
 
+def plane_pair_hints(scene: Scene, hints):
+    """Static opposite-wall pairs for the fast fold, or None.
+
+    Closed-box scenes (the room, scenes/Комната со сферой.frag:6-15) put
+    TWO hyperplanes on each coordinate axis; for a given ray at most one
+    wall of such a pair is the nearer candidate, so the fold can test the
+    pair with ONE division and one fold step instead of two
+    (intersect_scene_fast). Pairing requires concrete geometry and
+    unit single-axis normals (|n_k| == 1, the shipped-scene case — the
+    per-plane SMALL_FLOAT hit threshold then carries over exactly).
+
+    Returns (pairs, singles): pairs = tuple of (i, j, axis) with
+    offset_i < offset_j along ``axis`` (the static ordering the kernel's
+    2-select nearest-wall formula relies on); singles = indices of
+    unpaired planes. None when pairing is unavailable/pointless.
+    """
+    import jax.core as jcore
+
+    if hints is None or len(scene.spaces) < 2:
+        return None
+    by_axis = {}
+    for i, (sp, hint) in enumerate(zip(scene.spaces, hints)):
+        if hint.count(True) != 3:
+            continue
+        axis = hint.index(False)
+        comps = (sp.norm.x, sp.norm.y, sp.norm.z, sp.norm.w)
+        pts = (sp.point.x, sp.point.y, sp.point.z, sp.point.w)
+        if any(isinstance(c, jcore.Tracer) for c in comps + pts):
+            return None
+        nk = float(np.asarray(comps[axis]))
+        if abs(nk) != 1.0:
+            continue
+        # effective axis offset: plane is {x_axis == c}
+        c = float(sum(np.asarray(p) * np.asarray(n) for p, n in zip(pts, comps))) / nk
+        by_axis.setdefault(axis, []).append((c, i))
+    pairs = []
+    paired = set()
+    for axis, entries in by_axis.items():
+        entries.sort()
+        while len(entries) >= 2:
+            (ca, i), (cb, j) = entries[0], entries[1]
+            entries = entries[2:]
+            if ca == cb:
+                continue  # coincident planes: keep literal semantics
+            pairs.append((i, j, axis))
+            paired.update((i, j))
+    if not pairs:
+        return None
+    singles = tuple(i for i in range(len(scene.spaces)) if i not in paired)
+    return tuple(pairs), singles
+
+
 def intersect_scene_fast(
-    scene: Scene, ray_o: Vec4, ray_d: Vec4, plane_hints=None
+    scene: Scene, ray_o: Vec4, ray_d: Vec4, plane_hints=None, plane_pairs=None
 ) -> geo.Intersection:
     """Fused closest-hit with identical semantics to `intersect_scene_spec`
     but restructured for TPU lanes (the production path of trace_rays):
@@ -150,7 +202,7 @@ def intersect_scene_fast(
                         f"component but its value is {np.asarray(c)!r}; hints "
                         "must come from plane_norm_hints"
                     )
-    for k_sp, sp in enumerate(scene.spaces):
+    def add_single_plane(k_sp, sp):
         n = sp.norm
         # True = that normal component is statically exactly 0.0, so its
         # multiply-adds drop out of the per-lane dots (see plane_norm_hints).
@@ -180,6 +232,66 @@ def intersect_scene_fast(
             return (norm, *mat_resolve(mask, mat, glow, refl, color))
 
         resolvers.append(resolve)
+
+    def add_plane_pair(i, j, axis):
+        """Opposite walls on one axis as ONE candidate (plane_pair_hints):
+        for any ray at most one wall of the pair can be the nearer hit, so
+        select the nearest wall in the travel direction with two compares
+        and pay a single division + fold step. Requires |n_axis| == 1 and
+        offset_i < offset_j (both guaranteed statically by the hint
+        derivation), which makes the per-plane SMALL_FLOAT threshold and
+        distances bit-identical to the two single-plane candidates."""
+        sp_a, sp_b = scene.spaces[i], scene.spaces[j]
+        na = sp_a.norm[axis]  # +-1.0 (scalar)
+        nb = sp_b.norm[axis]
+        ca = dot(sp_a.point, sp_a.norm) / na  # scalar axis offset, hoisted
+        cb = dot(sp_b.point, sp_b.norm) / nb
+        o_k = o[axis]
+        d_k = d[axis]
+        going_up = d_k > 0.0
+        up_a = o_k < ca      # below both walls -> nearest going up is a
+        down_b = o_k > cb    # above both walls -> nearest going down is b
+        # (bitwise i1 ops, not select_n over bools: Mosaic-safe)
+        take_a = (going_up & up_a) | (~going_up & ~down_b)
+        p_near = jnp.where(take_a, ca, cb)
+        dot_vn = p_near - o_k
+        sgn = jnp.sign(dot_vn)
+        hit = sgn * d_k >= SMALL_FLOAT
+        dist = dot_vn / jnp.where(hit, d_k, 1.0)
+        dists.append(jnp.where(hit, dist, _FAR))
+
+        def resolve(mask, hit_p, norm, glow, refl, color,
+                    sgn=sgn, take_a=take_a, axis=axis,
+                    mat_a=sp_a.material, mat_b=sp_b.material):
+            comps = [zero, zero, zero, zero]
+            # The ray-facing normal of a double-sided axis plane is
+            # -sign(offset - o_k) * e_axis regardless of the stored
+            # normal's sign (it cancels: -sign(n_k*s)*n_k = -s for
+            # |n_k| = 1), so no select over (na, nb) is needed.
+            comps[axis] = -sgn
+            norm = Vec4(*comps).where(mask, norm)
+            glow = jnp.where(
+                mask, jnp.where(take_a, mat_a.glow, mat_b.glow), glow)
+            refl = jnp.where(
+                mask, jnp.where(take_a, mat_a.refl_prob, mat_b.refl_prob), refl)
+            color = Vec3(
+                jnp.where(mask, jnp.where(take_a, mat_a.color.x, mat_b.color.x), color.x),
+                jnp.where(mask, jnp.where(take_a, mat_a.color.y, mat_b.color.y), color.y),
+                jnp.where(mask, jnp.where(take_a, mat_a.color.z, mat_b.color.z), color.z),
+            )
+            return norm, glow, refl, color
+
+        resolvers.append(resolve)
+
+    if plane_pairs is not None and plane_hints is not None:
+        pairs, singles = plane_pairs
+        for i, j, axis in pairs:
+            add_plane_pair(i, j, axis)
+        for i in singles:
+            add_single_plane(i, scene.spaces[i])
+    else:
+        for k_sp, sp in enumerate(scene.spaces):
+            add_single_plane(k_sp, sp)
 
     for s in scene.spheres:
         c, r = s.center, s.r
@@ -313,19 +425,21 @@ def intersect_scene_spec(
 
 def intersect_scene(
     scene: Scene, ray_o: Vec4, ray_d: Vec4, mode: str = "fast",
-    plane_hints=None,
+    plane_hints=None, plane_pairs=None,
 ) -> geo.Intersection:
     """Dispatch: "fast" (production, fused fold), "spec" (literal
     per-primitive fold, the executable spec the fast path is tested
     against) or "trig" (spec with the reference's literal trigonometric
-    sphere solution — the oracle-parity configuration). ``plane_hints``
-    (fast mode only): static zero-component hints from
-    `plane_norm_hints`."""
+    sphere solution — the oracle-parity configuration). ``plane_hints`` /
+    ``plane_pairs`` (fast mode only): static hints from
+    `plane_norm_hints` / `plane_pair_hints`."""
     if mode == "spec":
         return intersect_scene_spec(scene, ray_o, ray_d)
     if mode == "trig":
         return intersect_scene_spec(scene, ray_o, ray_d, trig=True)
-    return intersect_scene_fast(scene, ray_o, ray_d, plane_hints=plane_hints)
+    return intersect_scene_fast(
+        scene, ray_o, ray_d, plane_hints=plane_hints, plane_pairs=plane_pairs
+    )
 
 
 # --- Convenience constructors (Python-float friendly) --------------------

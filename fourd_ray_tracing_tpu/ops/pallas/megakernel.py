@@ -53,6 +53,7 @@ from fourd_ray_tracing_tpu.models.scene import (
     Scene,
     intersect_scene,
     plane_norm_hints,
+    plane_pair_hints,
 )
 from fourd_ray_tracing_tpu.ops import rng
 from fourd_ray_tracing_tpu.ops.sampler import direction_from_uniforms
@@ -119,7 +120,8 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
         alive = alive_f > 0.5
         if inter is None:
             inter = intersect_scene(
-                scene, o, d, cfg.intersect, plane_hints=cfg.plane_hints
+                scene, o, d, cfg.intersect,
+                plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
             )
 
         if scene.environment is not None and scene.environment.enabled:
@@ -219,7 +221,8 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     # Sample-invariant bounce-0 intersection, hoisted out of the sample
     # loop (all samples share the primary ray, shader.frag:519).
     first = intersect_scene(
-        scene, focus, d, cfg.intersect, plane_hints=cfg.plane_hints
+        scene, focus, d, cfg.intersect,
+        plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
     )
 
     def sample_body(s, acc):
@@ -256,7 +259,10 @@ def render_light_pallas(
     if cfg.intersect == "fast" and cfg.plane_hints is None:
         hints = plane_norm_hints(scene)
         if hints is not None:
-            cfg = dataclasses.replace(cfg, plane_hints=hints)
+            cfg = dataclasses.replace(
+                cfg, plane_hints=hints,
+                plane_pairs=plane_pair_hints(scene, hints),
+            )
     return _render_light_pallas_jit(scene, camera, cfg, seed, interpret)
 
 

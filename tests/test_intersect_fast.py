@@ -74,3 +74,49 @@ def test_fast_miss_record_matches_spec_semantics(rng_np):
     rec = intersect_scene_fast(scene, o, d)
     assert not np.asarray(rec.hit).any()
     np.testing.assert_array_equal(np.asarray(rec.dist), 0.0)
+
+
+def test_plane_pair_fold_bit_identical(rng_np):
+    """Opposite-wall pairing (plane_pair_hints + the 2-select nearest-wall
+    candidate) must be BIT-identical to the per-plane fold: same
+    distances, hits, oriented normals and materials on random rays."""
+    from fourd_ray_tracing_tpu.models.scene import (
+        plane_norm_hints,
+        plane_pair_hints,
+    )
+
+    scene = library.room_with_sphere()
+    hints = plane_norm_hints(scene)
+    pairs = plane_pair_hints(scene, hints)
+    assert pairs is not None
+    pair_list, singles = pairs
+    assert len(pair_list) == 4 and singles == ()  # 8 walls -> 4 axis pairs
+
+    o_np = rng_np.uniform(-4.2, 4.2, size=(2048, 4)).astype(np.float32)
+    d_np = rng_np.normal(size=(2048, 4)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec4.unstack(jnp.asarray(o_np))
+    d = Vec4.unstack(jnp.asarray(d_np.astype(np.float32)))
+
+    a = intersect_scene_fast(scene, o, d, plane_hints=hints)
+    b = intersect_scene_fast(scene, o, d, plane_hints=hints, plane_pairs=pairs)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.dist), np.asarray(b.dist))
+    for ca, cb in zip(a.norm, b.norm):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(a.glow), np.asarray(b.glow))
+    for ca, cb in zip(a.color, b.color):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_plane_pair_hints_unavailable_cases():
+    from fourd_ray_tracing_tpu.models.scene import (
+        plane_norm_hints,
+        plane_pair_hints,
+    )
+
+    # Single-plane scenes: nothing to pair.
+    scene = library.tiger()
+    assert plane_pair_hints(scene, plane_norm_hints(scene)) is None
+    # No hints -> no pairing.
+    assert plane_pair_hints(library.room_with_sphere(), None) is None
