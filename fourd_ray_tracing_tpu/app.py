@@ -223,6 +223,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="out")
     ap.add_argument("--interactive", action="store_true")
     ap.add_argument("--deterministic", action="store_true")
+    ap.add_argument("--load-state", default=None,
+                    help="resume accumulation/camera from a checkpoint dir")
+    ap.add_argument("--save-state", default=None,
+                    help="write engine state to a checkpoint dir at exit")
     ap.add_argument(
         "--upscale", action="store_true",
         help="scale PNGs by each window's cell_size (the sprite blit, "
@@ -234,6 +238,9 @@ def main(argv=None) -> int:
     if args.scene:
         app = type(app)(**{**app.__dict__, "scene": args.scene})
     engine = build_engine(app, deterministic=args.deterministic)
+    if args.load_state:
+        engine.load_checkpoint(args.load_state)
+        log0(f"resumed from {args.load_state} at frame {engine.frame_number}")
     out_dir = Path(args.out)
     upscale = None
     if args.upscale:
@@ -251,6 +258,9 @@ def main(argv=None) -> int:
         pace = 1.0 / app.max_fps if app.max_fps > 0 else 0.0
         interactive_loop(engine, out_dir, upscale=upscale,
                          min_frame_seconds=pace)
+        if args.save_state:
+            engine.save_checkpoint(args.save_state)
+            log0(f"saved state to {args.save_state}")
         return 0
 
     meter = Meter()
@@ -258,6 +268,9 @@ def main(argv=None) -> int:
     run_frames(engine, meter, args.frames)
     for p in save_windows(engine, out_dir, upscale=upscale):
         log0(f"wrote {p}")
+    if args.save_state:
+        engine.save_checkpoint(args.save_state)
+        log0(f"saved state to {args.save_state}")
     log0(f"total {time.perf_counter() - t0:.2f}s")
     return 0
 

@@ -136,6 +136,7 @@ class RenderEngine:
         self.seed = 0
         self._np_rng = np.random.default_rng(0 if deterministic else None)
         self._deterministic = deterministic
+        self._rng_draws = 0  # for deterministic checkpoint/resume
 
         # --- camera state: native C struct when available ---------------
         self._native = None
@@ -338,6 +339,7 @@ class RenderEngine:
         """Render one frame into every group's accumulation buffer;
         returns the main group's."""
         self.seed ^= generate_seed(self._np_rng, wall_clock=not self._deterministic)
+        self._rng_draws += 1
         part = 1.0 / float(self.frame_number)
         self.frame_number += 1
         for g in self.groups:
@@ -368,3 +370,63 @@ class RenderEngine:
             len(g.views) * g.cfg.width * g.cfg.height * g.cfg.samples
             for g in self.groups
         )
+
+    # --- checkpoint / resume (SURVEY §5: the reference's accumulation
+    # dies with the GL texture on exit; ours persists) ------------------
+
+    def state_dict(self) -> dict:
+        """Full resumable engine state: per-group accumulation buffers,
+        frame counter, seed, and camera pose."""
+        a = self.angles
+        f = self.focus
+        return {
+            "accums": [np.asarray(g.accum) for g in self.groups],
+            "frame_number": np.int32(self.frame_number),
+            "seed": np.uint32(self.seed),
+            "rng_draws": np.int64(self._rng_draws),
+            "angles": np.asarray(
+                [float(a.fi), float(a.te), float(a.psi)], np.float32
+            ),
+            "focus": np.asarray(
+                [float(np.asarray(c)) for c in f], np.float32
+            ),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        accums = state["accums"]
+        if len(accums) != len(self.groups):
+            raise ValueError(
+                f"checkpoint has {len(accums)} view groups, engine has "
+                f"{len(self.groups)}"
+            )
+        for g, acc in zip(self.groups, accums):
+            acc = np.asarray(acc)
+            if acc.shape != g.accum.shape:
+                raise ValueError(
+                    f"checkpoint accum shape {acc.shape} != {g.accum.shape}"
+                )
+            g.accum = jnp.asarray(acc)
+        self.frame_number = int(state["frame_number"])
+        self.seed = int(state["seed"])
+        # Deterministic seed sequences resume exactly: replay the
+        # per-frame RNG draws into a fresh generator.
+        self._rng_draws = int(state.get("rng_draws", 0))
+        self._np_rng = np.random.default_rng(0 if self._deterministic else None)
+        for _ in range(self._rng_draws if self._deterministic else 0):
+            self._np_rng.integers(0, 2**32)
+        ang = np.asarray(state["angles"], np.float32)
+        self.angles = cam.CameraAngles(
+            jnp.float32(ang[0]), jnp.float32(ang[1]), jnp.float32(ang[2])
+        )
+        fc = np.asarray(state["focus"], np.float32)
+        self.focus = Vec4.of(*fc)
+
+    def save_checkpoint(self, path) -> None:
+        from fourd_ray_tracing_tpu.utils import checkpoint
+
+        checkpoint.save(path, self.state_dict())
+
+    def load_checkpoint(self, path) -> None:
+        from fourd_ray_tracing_tpu.utils import checkpoint
+
+        self.load_state_dict(checkpoint.restore(path, self.state_dict()))

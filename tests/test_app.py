@@ -230,3 +230,39 @@ def test_meter_counts_rays():
     assert m.stats.frames == 1 and m.stats.rays == 1000
     payload = json.loads(m.stats.as_json())
     assert payload["frames"] == 1 and payload["rays_per_s"] > 0
+
+
+def test_checkpoint_resume_continues_exactly(tiny_config, tmp_path):
+    """Engine checkpoint/resume: a saved run resumed in a fresh process
+    state continues bit-identically to the uninterrupted run
+    (deterministic seed sequence is replayed)."""
+    app = AppConfig.load(tiny_config)
+    ref = app_mod.build_engine(app, deterministic=True)
+    ref.run(5)
+    ref_acc = np.asarray(ref.accum)
+
+    a = app_mod.build_engine(app, deterministic=True)
+    a.run(3)
+    ckpt = tmp_path / "state"
+    a.save_checkpoint(ckpt)
+
+    b = app_mod.build_engine(app, deterministic=True)
+    b.load_checkpoint(ckpt)
+    assert b.frame_number == a.frame_number and b.seed == a.seed
+    b.run(2)
+    np.testing.assert_array_equal(np.asarray(b.accum), ref_acc)
+
+
+def test_checkpoint_cli_roundtrip(tiny_config, tmp_path):
+    out = tmp_path / "out"
+    state = tmp_path / "state"
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--frames", "2", "--out", str(out),
+        "--deterministic", "--save-state", str(state),
+    ])
+    assert rc == 0
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--frames", "1", "--out", str(out),
+        "--deterministic", "--load-state", str(state),
+    ])
+    assert rc == 0

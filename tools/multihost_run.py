@@ -158,6 +158,41 @@ def parent(args) -> int:
     return rc if result is not None or rc else 1
 
 
+def scaling(args) -> int:
+    """rays/s at 1 process vs 2 processes (same per-process device count)
+    — the harness for the >=90%-linear-to-2-hosts target (BASELINE.md:18).
+    On one physical machine the two CPU 'hosts' share cores, so the
+    printed ratio here is a plumbing check; on real multi-host TPU the
+    same command measures the actual scaling."""
+    import argparse as _a
+
+    results = {}
+    for n in (1, 2):
+        sub = _a.Namespace(**{**vars(args), "nprocs": n, "worker": None,
+                              "port": args.port + n})
+        out_line = {}
+        import io
+        import contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = parent(sub)
+        if rc != 0:
+            return rc
+        for line in buf.getvalue().splitlines():
+            if line.startswith("{"):
+                out_line = json.loads(line)
+        results[n] = out_line
+        print(json.dumps(out_line))
+    r1 = results[1].get("rays_per_s", 0.0)
+    r2 = results[2].get("rays_per_s", 0.0)
+    print(json.dumps({
+        "mode": "scaling", "rays_per_s_1proc": r1, "rays_per_s_2proc": r2,
+        "scaling_efficiency": (r2 / r1) if r1 else None,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nprocs", type=int, default=2)
@@ -165,9 +200,13 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=52345)
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument("--scaling", action="store_true",
+                    help="measure rays/s at 1 and 2 processes")
     args = ap.parse_args(argv)
     if args.worker is not None:
         return worker(args)
+    if args.scaling:
+        return scaling(args)
     return parent(args)
 
 
