@@ -39,6 +39,16 @@ import sys
 import time
 
 import jax
+
+# Persistent compile cache: TPU kernel compiles go through a remote
+# tunnel that can take minutes; cache them across bench processes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -171,7 +181,10 @@ def run_forward_workload(name, scene_name, width, height, samples, bounces,
     rays = len(views) * width * height * samples
     out = jax.block_until_ready(fn(np.uint32(1)))
     assert bool(jnp.isfinite(out).all()), f"non-finite pixels in {name}"
-    lo, med, hi = time_rounds(fn, rays)
+    # Small workloads are dispatch-bound per frame; run enough frames per
+    # round (~4M rays) that the kernel, not the launch, is measured.
+    frames = max(FRAMES, int(4e6 / rays))
+    lo, med, hi = time_rounds(fn, rays, frames=frames)
     fpr = flops_per_ray(scene_name, cfg, views)
     payload = {
         "metric": "rays_per_second", "workload": name, "scene": scene_name,

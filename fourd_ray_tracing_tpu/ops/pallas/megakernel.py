@@ -152,16 +152,41 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
         d = mirrored.where(mirror, scattered).where(alive, d)
         return o, d, result, throughput, jnp.where(alive, 1.0, 0.0), counter
 
+    def tail(state, inter=None):
+        # Final bounce, shade-only: the direction update (Bernoulli +
+        # sampler draws) is dead on the last iteration, and per-sample
+        # RNG streams don't carry across samples, so skipping it leaves
+        # the image bit-identical while saving a full sampler+RNG+
+        # reflect/redirect evaluation per ray (~1/(bounces+1) of the
+        # trace work). Sequential streams DO carry (renderer.trace_rays
+        # handles that mode; this kernel is per-sample only).
+        o, d, result, throughput, alive_f, counter = state
+        alive = alive_f > 0.5
+        if inter is None:
+            inter = intersect_scene(
+                scene, o, d, cfg.intersect,
+                plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+            )
+        if scene.environment is not None and scene.environment.enabled:
+            escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
+            env = final_light(scene.environment, d)
+            result = result + (throughput * env).where(escaped, zero3)
+        alive = jnp.logical_and(alive, inter.hit)
+        result = result + (inter.color * inter.glow * throughput).where(alive, zero3)
+        return result, counter
+
     ones = jnp.ones(pixel_bits.shape, jnp.float32)
     state = (ray_o, ray_d, zero3, Vec3.full(1.0, like=zero3.x), ones, counter)
+    if cfg.reflections_amount == 0:
+        return tail(state, inter=first)
     start = 0
     if first is not None:
         # Peel bounce 0 so the hoisted sample-invariant intersection is
         # used without a select inside the loop body.
         state = body(0, state, inter=first)
         start = 1
-    state = jax.lax.fori_loop(start, cfg.reflections_amount + 1, body, state)
-    return state[2], state[5]
+    state = jax.lax.fori_loop(start, cfg.reflections_amount, body, state)
+    return tail(state)
 
 
 def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
