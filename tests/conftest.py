@@ -9,19 +9,24 @@ import os
 
 # Force, not setdefault: the session environment may pin JAX_PLATFORMS to a
 # real accelerator (e.g. a tunneled TPU); tests must stay on the CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# FOURD_TEST_TPU=1 opts out, for the TPU-gated hardware tests
+# (test_pallas.py::test_megakernel_bitwise_on_tpu).
+_USE_TPU = os.environ.get("FOURD_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # A site hook may have already imported jax and pinned
 # jax_platforms="<accel>,cpu" via jax.config (which overrides the env
 # var) — pin it back to cpu before any backend is instantiated.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite's cost is almost entirely XLA
 # compiles (2-CPU host); caching them makes re-runs near-instant.
