@@ -122,8 +122,47 @@ def build_engine(app: AppConfig, deterministic: bool = False) -> RenderEngine:
     )
 
 
+def window_layout(app: AppConfig) -> dict:
+    """Window placement on the (virtual) desktop — the TPU-native record
+    of scaleWindows/setWindowPositions (three_window_group.cpp:18-36,
+    single_window_group.cpp:15-26): the scale multiplier shrinks windows
+    that don't fit the screen, indents center them.
+
+    Reference quirk preserved deliberately: the C++ member-init order
+    constructs the CellsWindows (and hence the CELL/render resolution)
+    BEFORE scaleWindows() mutates the params, so scaling affects ONLY the
+    placement math — never the render resolution. We reproduce exactly
+    that: build_engine derives resolutions from the unscaled configs.
+    """
+    scr = app.screen
+    sw, sh = scr.width, scr.usable_height
+    main = app.main_window
+    if not app.show_additional_windows:
+        mult = min(1.0, sh / main.height, sw / main.width)
+        w, h = int(main.width * mult), int(main.height * mult)
+        return {
+            "multiplier": mult,
+            "yxz": {"pos": [(sw - w) // 2, (sh - h) // 2], "size": [w, h]},
+        }
+    add = app.additional_window
+    mult = min(1.0, sh / (main.height + add.height), sw / 2 / add.width,
+               sw / main.width)
+    mw, mh = int(main.width * mult), int(main.height * mult)
+    aw, ah = int(add.width * mult), int(add.height * mult)
+    indent_x = (sw - aw * 2) // 3
+    indent_y = (sh - mh - ah) // 3
+    add_y = mh + scr.window_title_height + indent_y * 2
+    return {
+        "multiplier": mult,
+        "yxz": {"pos": [(sw - mw) // 2, indent_y], "size": [mw, mh]},
+        "ywz": {"pos": [indent_x, add_y], "size": [aw, ah]},
+        "yxw": {"pos": [aw + indent_x * 2, add_y], "size": [aw, ah]},
+    }
+
+
 def save_windows(
-    engine: RenderEngine, out_dir: Path, tag: str = "", upscale: dict | None = None
+    engine: RenderEngine, out_dir: Path, tag: str = "", upscale: dict | None = None,
+    fps: float | None = None, text_size: int = 24,
 ) -> list:
     """Write one PNG per view window (the display() analogue).
 
@@ -139,7 +178,12 @@ def save_windows(
         return []
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = []
-    for view, img in engine.windows():
+    for k, (view, img) in enumerate(engine.windows()):
+        if fps is not None and k == 0:
+            # FPS overlay on the main window only (main.cpp:101, drawFPS)
+            from fourd_ray_tracing_tpu.utils.overlay import draw_fps
+
+            img = draw_fps(img, fps, text_size)
         s = (upscale or {}).get(view, 1)
         if s > 1:
             img = np.repeat(np.repeat(img, s, axis=0), s, axis=1)
@@ -227,6 +271,9 @@ def main(argv=None) -> int:
                     help="resume accumulation/camera from a checkpoint dir")
     ap.add_argument("--save-state", default=None,
                     help="write engine state to a checkpoint dir at exit")
+    ap.add_argument("--fps-overlay", action="store_true",
+                    help="burn the FPS counter into the main window PNG "
+                    "(drawFPS analogue, windows.cpp:49-53)")
     ap.add_argument(
         "--upscale", action="store_true",
         help="scale PNGs by each window's cell_size (the sprite blit, "
@@ -266,8 +313,15 @@ def main(argv=None) -> int:
     meter = Meter()
     t0 = time.perf_counter()
     run_frames(engine, meter, args.frames)
-    for p in save_windows(engine, out_dir, upscale=upscale):
+    fps = meter.stats.frames / meter.stats.seconds if args.fps_overlay else None
+    for p in save_windows(engine, out_dir, upscale=upscale, fps=fps,
+                          text_size=app.text.size):
         log0(f"wrote {p}")
+    if jax.process_index() == 0:
+        import json as _json
+
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "layout.json").write_text(_json.dumps(window_layout(app), indent=1))
     if args.save_state:
         engine.save_checkpoint(args.save_state)
         log0(f"saved state to {args.save_state}")

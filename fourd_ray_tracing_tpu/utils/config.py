@@ -96,6 +96,17 @@ class Properties:
         return self._map.keys()
 
 
+def _opt_uint(props: "Properties", key: str, default: int) -> int:
+    """Optional unsigned key with a default (the reference hard-errors on
+    every key it reads; these presentation keys are optional here so a
+    reference config file and a minimal one both load)."""
+    return props.get_unsigned_int(key) if key in props.keys() else default
+
+
+def _opt_float(props: "Properties", key: str, default: float) -> float:
+    return props.get_float(key) if key in props.keys() else default
+
+
 def _try_native_parse(text: str):
     """Use the C++ parser when libfourd_native is built (native/)."""
     try:
@@ -155,6 +166,32 @@ class ControlConfig:
 
 
 @dataclass(frozen=True)
+class TextConfig:
+    """FPS-overlay text parameters (main.cpp:41-50 initText)."""
+
+    font_filename: Optional[str] = None  # bitmap digits built in; kept for parity
+    size: int = 24
+    outline_thickness: float = 2.0
+
+
+@dataclass(frozen=True)
+class ScreenConfig:
+    """Desktop metrics (main.cpp:19-23). The reference queries the OS
+    (VideoMode::getDesktopMode()); headless we take them from config keys
+    screen.width/height (defaults = 1920x1080) and subtract the same
+    window_title_height/task_bar_height."""
+
+    width: int = 1920
+    height: int = 1080
+    window_title_height: int = 37
+    task_bar_height: int = 60
+
+    @property
+    def usable_height(self) -> int:
+        return self.height - self.task_bar_height - self.window_title_height
+
+
+@dataclass(frozen=True)
 class AppConfig:
     """Full application config (semantic groups of properties.txt)."""
 
@@ -173,6 +210,8 @@ class AppConfig:
     light_to_color_conversion_coefficient: float = 1.0
     max_fps: int = 60
     scene: str = "tiger"
+    text: TextConfig = field(default_factory=TextConfig)
+    screen: ScreenConfig = field(default_factory=ScreenConfig)
 
     @staticmethod
     def from_properties(props: Properties) -> "AppConfig":
@@ -216,6 +255,17 @@ class AppConfig:
             ),
             max_fps=props.get_unsigned_int("max_fps"),
             scene=props.get_string_or_null("scene") or "tiger",
+            text=TextConfig(
+                font_filename=props.get_string_or_null("text.font.filename"),
+                size=_opt_uint(props, "text.size", 24),
+                outline_thickness=_opt_float(props, "text.outline_thickness", 2.0),
+            ),
+            screen=ScreenConfig(
+                width=_opt_uint(props, "screen.width", 1920),
+                height=_opt_uint(props, "screen.height", 1080),
+                window_title_height=_opt_uint(props, "window_title_height", 37),
+                task_bar_height=_opt_uint(props, "task_bar_height", 60),
+            ),
         )
 
     @staticmethod

@@ -266,3 +266,61 @@ def test_checkpoint_cli_roundtrip(tiny_config, tmp_path):
         "--deterministic", "--load-state", str(state),
     ])
     assert rc == 0
+
+
+def test_window_layout_reference_defaults(tiny_config):
+    """Placement math (three_window_group.cpp:18-36) at the reference's
+    default sizes on a 1920x1080 desktop: multiplier 1, main centered,
+    additional row below."""
+    cfg_text = (
+        TINY_CONFIG
+        .replace("show_additional_windows = false", "show_additional_windows = true")
+        .replace("window.main.width = 96", "window.main.width = 850")
+        .replace("window.main.cell_size = 4", "window.main.cell_size = 7")
+        .replace("window.additional.width = 60", "window.additional.width = 600")
+    )
+    app = AppConfig.from_properties(
+        __import__("fourd_ray_tracing_tpu.utils.config", fromlist=["Properties"])
+        .Properties(dict(
+            (k.strip(), v.split("#")[0].strip())
+            for line in cfg_text.splitlines()
+            if "=" in line
+            for k, _, v in [line.partition("=")]
+        ))
+    )
+    lay = app_mod.window_layout(app)
+    # usable height = 1080 - 60 - 37 = 983; heights: main 525, add 370.
+    assert lay["multiplier"] == 1.0
+    assert lay["yxz"]["pos"] == [(1920 - 850) // 2, (983 - 525 - 370) // 3]
+    assert lay["ywz"]["size"] == [600, 370]
+    # small screens scale placement only, never render resolution
+    small = AppConfig(**{**app.__dict__,
+                         "screen": type(app.screen)(width=800, height=600)})
+    lay2 = app_mod.window_layout(small)
+    assert lay2["multiplier"] < 1.0
+    assert app_mod.build_engine(small, deterministic=True).cfg.width == 121
+
+
+def test_fps_overlay_burns_pixels():
+    from fourd_ray_tracing_tpu.utils.overlay import draw_fps
+
+    img = np.zeros((40, 80, 3), np.float32)
+    out = draw_fps(img, 59.9, text_size=24)
+    assert out.shape == img.shape
+    assert out.max() == 1.0          # white glyph pixels
+    assert (img == 0).all()          # input untouched
+    assert (out > 0.5).sum() > 40    # a readable amount of text
+
+
+def test_main_with_fps_overlay_and_layout(tiny_config, tmp_path):
+    out = tmp_path / "out"
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--frames", "1", "--out", str(out),
+        "--deterministic", "--fps-overlay",
+    ])
+    assert rc == 0
+    assert (out / "layout.json").exists()
+    import json as _json
+
+    lay = _json.loads((out / "layout.json").read_text())
+    assert "yxz" in lay and "multiplier" in lay
