@@ -348,11 +348,11 @@ def intersect_scene_fast(
         )
     if scene.cylinders_union is not None:
         c1, c2 = scene.cylinders_union
-        composite(geo.cylinders_union_intersection(c1, c2, o, d))
+        composite(geo.cylinders_union_intersection_fast(c1, c2, o, d))
     if scene.hypercube is not None:
-        composite(geo.hypercube_intersection(scene.hypercube, o, d))
+        composite(geo.hypercube_intersection_fast(scene.hypercube, o, d))
     if scene.tiger is not None:
-        composite(geo.tiger_intersection(scene.tiger, o, d))
+        composite(geo.tiger_intersection_fast(scene.tiger, o, d))
 
     if not dists:
         return geo.miss_like(d.x)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -395,6 +396,199 @@ def tiger_intersection(
     return inter
 
 
+# --- Shared-projection fast paths (production fold only) ------------------
+#
+# The literal tiger/duocylinder intersections re-project the ray into
+# each cylinder's axis 2-plane once PER FACE (8 faces x 2 ray_in_space +
+# 16 dist_to_axes_plane point projections, shader.frag:317-341). But the
+# tiger's four cylinders share just TWO axis pairs, projections are
+# affine, and the clip distance at ray parameter t is the norm of
+# po - d12*t in the projected plane — a quadratic in t with coefficients
+# already computed for the family. Computing each family's projection
+# once and folding faces in squared-distance space does the same math
+# with ~2x fewer ops; equal to the literal path up to ulp re-association
+# (mask edges may flip — bounded by tests/test_intersect_fast.py).
+
+
+# Miss sentinel / squared threshold for the fast folds (models/scene.py
+# defines the same values for its own fold).
+_FAR = np.float32(1e30)
+_SMALL2 = np.float32(float(SMALL_FLOAT) * float(SMALL_FLOAT))
+
+
+class _CylFamily(NamedTuple):
+    """Per-(point, axis1, axis2) projected-ray quantities."""
+
+    po: Vec4           # center - projected origin (in the 2-plane)
+    d12: Vec4          # projected (non-unit) direction
+    l2: jnp.ndarray    # |po|^2
+    b_raw: jnp.ndarray     # dot(po, d12)
+    len1_sq: jnp.ndarray   # |d - a1 dot(d,a1)|^2  (first projection)
+    len12_sq: jnp.ndarray  # |d12|^2
+    inv_len: jnp.ndarray   # 1/|d12| (guarded)
+    proj_ok: jnp.ndarray   # both projection lengths >= SMALL_FLOAT
+
+
+def _cyl_family(point: Vec4, axis1: Vec4, axis2: Vec4, ray_o: Vec4, ray_d: Vec4):
+    co = point - ray_o
+    a1c = dot(co, axis1)
+    a2c = dot(co, axis2)
+    po = co - axis1 * a1c - axis2 * a2c
+    da1 = dot(ray_d, axis1)
+    d1 = ray_d - axis1 * da1
+    len1_sq = dot(d1, d1)
+    da2 = dot(d1, axis2)
+    d12 = d1 - axis2 * da2
+    len12_sq = dot(d12, d12)
+    proj_ok = jnp.logical_and(len1_sq >= _SMALL2, len12_sq >= _SMALL2)
+    inv_len = jax.lax.rsqrt(jnp.where(proj_ok, len12_sq, 1.0))
+    return _CylFamily(
+        po, d12, dot(po, po) + 1e-37, dot(po, d12),
+        len1_sq, len12_sq, inv_len, proj_ok,
+    )
+
+
+def _family_circle_dist(fam: _CylFamily, r, outer: bool):
+    """(dist, hit, use_near) of the family's circle test at radius r —
+    sphere_intersection's quadratic on the projected ray, with the
+    1/|d12| unscaling folded in (shader.frag:260-266)."""
+    r2 = r * r
+    degenerate = fam.l2 < _SMALL2
+    b = jnp.where(degenerate, 0.0, fam.b_raw * fam.inv_len)  # unit-dir b
+    receding = jnp.logical_and(
+        jnp.logical_not(degenerate), jnp.logical_and(fam.l2 >= r2, b < 0.0)
+    )
+    disc = r2 - (fam.l2 - b * b)
+    tangent = disc <= 0.0
+    sq = jnp.sqrt(jnp.where(tangent, 1.0, disc))
+    sq = jnp.where(tangent, 0.0, sq)
+    use_near = (fam.l2 > r2) if outer else (fam.l2 < -jnp.inf)
+    dist = jnp.where(use_near, b - sq, b + sq) * fam.inv_len
+    hit = jnp.logical_and(
+        fam.proj_ok,
+        jnp.logical_not(jnp.logical_or(receding, tangent)),
+    )
+    return dist, hit, use_near
+
+
+def _family_clip_sq(fam: _CylFamily, t: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance to the family's axis 2-plane at ray parameter t:
+    |po - d12*t|^2 = l2 - 2t*b_raw + t^2*|d12|^2 (dist_to_axes_plane,
+    shader.frag:270-275, compared in squared space)."""
+    return fam.l2 - 2.0 * t * fam.b_raw + t * t * fam.len12_sq
+
+
+def _family_norm(fam: _CylFamily, dist, r, flip) -> Vec4:
+    """Cylinder surface normal at parameter dist: (po - d12*dist)/r,
+    negated where ``flip`` (the outer-hit-from-outside flip,
+    shader.frag:218-219 via :260)."""
+    inv_r = 1.0 / r
+    scale = jnp.where(flip, -inv_r, inv_r)
+    return Vec4(
+        (fam.po.x - fam.d12.x * dist) * scale,
+        (fam.po.y - fam.d12.y * dist) * scale,
+        (fam.po.z - fam.d12.z * dist) * scale,
+        (fam.po.w - fam.d12.w * dist) * scale,
+    )
+
+
+def tiger_intersection_fast(tiger: TigerSpec, ray_o: Vec4, ray_d: Vec4) -> Intersection:
+    """tiger_intersection with the two family projections shared across
+    all 8 face tests and clips in squared space (see block comment)."""
+    fam_a = _cyl_family(
+        tiger.inner_cyl1.point, tiger.inner_cyl1.axis1, tiger.inner_cyl1.axis2,
+        ray_o, ray_d,
+    )
+    fam_b = _cyl_family(
+        tiger.inner_cyl2.point, tiger.inner_cyl2.axis1, tiger.inner_cyl2.axis2,
+        ray_o, ray_d,
+    )
+    r_in_a, r_out_a = tiger.inner_cyl1.r, tiger.outer_cyl1.r
+    r_in_b, r_out_b = tiger.inner_cyl2.r, tiger.outer_cyl2.r
+
+    # Faces in the reference's order (shader.frag:328-335): family A's
+    # cylinders clip against family B's annulus and vice versa.
+    faces = []
+    for fam, other, r_pairs, other_rs, mat in (
+        (fam_a, fam_b, ((r_in_a, True), (r_in_a, False), (r_out_a, True), (r_out_a, False)),
+         (r_in_b, r_out_b), tiger.inner_cyl1.material),
+        (fam_b, fam_a, ((r_in_b, True), (r_in_b, False), (r_out_b, True), (r_out_b, False)),
+         (r_in_a, r_out_a), tiger.inner_cyl2.material),
+    ):
+        o_in, o_out = other_rs
+        for r, outer in r_pairs:
+            dist, hit, use_near = _family_circle_dist(fam, r, outer)
+            clip_sq = _family_clip_sq(other, dist)
+            keep = jnp.logical_and(
+                clip_sq <= o_out * o_out, clip_sq >= o_in * o_in
+            )
+            faces.append((jnp.logical_and(hit, keep), dist, fam, r, use_near, mat))
+
+    # closest-fold over the 8 faces (dist + winner index), then resolve
+    # the winner's normal/material once.
+    FAR = _FAR
+    best = jnp.where(faces[0][0], faces[0][1], FAR)
+    idx = jnp.zeros_like(best, dtype=jnp.int32)
+    for k, (hit, dist, *_rest) in enumerate(faces[1:], start=1):
+        dk = jnp.where(hit, dist, FAR)
+        take = dk < best
+        best = jnp.where(take, dk, best)
+        idx = jnp.where(take, jnp.int32(k), idx)
+
+    any_hit = best < FAR * 0.5
+    dist = jnp.where(any_hit, best, 0.0)
+    zero = jnp.zeros_like(dist)
+    norm = Vec4(zero, zero, zero, zero)
+    glow, refl = zero, zero
+    color = Vec3(zero, zero, zero)
+    for k, (hit, _d, fam, r, use_near, mat) in enumerate(faces):
+        mask = jnp.logical_and(any_hit, idx == k)
+        nk = _family_norm(fam, dist, r, use_near)
+        norm = nk.where(mask, norm)
+        glow = jnp.where(mask, mat.glow, glow)
+        refl = jnp.where(mask, mat.refl_prob, refl)
+        color = Vec3(
+            jnp.where(mask, mat.color.x, color.x),
+            jnp.where(mask, mat.color.y, color.y),
+            jnp.where(mask, mat.color.z, color.z),
+        )
+    return Intersection(any_hit, dist, norm, glow, refl, color)
+
+
+def cylinders_union_intersection_fast(
+    cyl1: CylinderSpec, cyl2: CylinderSpec, ray_o: Vec4, ray_d: Vec4
+) -> Intersection:
+    """cylinders_union_intersection with shared projections + squared
+    clips — including the verbatim cylinder2.r clip on both arms
+    (shader.frag:290, SURVEY C6i)."""
+    fam1 = _cyl_family(cyl1.point, cyl1.axis1, cyl1.axis2, ray_o, ray_d)
+    fam2 = _cyl_family(cyl2.point, cyl2.axis1, cyl2.axis2, ray_o, ray_d)
+    r2sq = cyl2.r * cyl2.r
+
+    d1, h1, near1 = _family_circle_dist(fam1, cyl1.r, True)
+    h1 = jnp.logical_and(h1, _family_clip_sq(fam2, d1) <= r2sq)
+    d2, h2, near2 = _family_circle_dist(fam2, cyl2.r, True)
+    h2 = jnp.logical_and(h2, _family_clip_sq(fam1, d2) <= r2sq)
+
+    take1 = jnp.logical_and(h1, jnp.logical_or(jnp.logical_not(h2), d1 < d2))
+    hit = jnp.logical_or(h1, h2)
+    dist = jnp.where(hit, jnp.where(take1, d1, d2), 0.0)
+    n1 = _family_norm(fam1, dist, cyl1.r, near1)
+    n2 = _family_norm(fam2, dist, cyl2.r, near2)
+    norm = n1.where(take1, n2).where(hit, Vec4.zeros(dist))
+    m1, m2 = cyl1.material, cyl2.material
+    glow = jnp.where(hit, jnp.where(take1, m1.glow, m2.glow), 0.0)
+    refl = jnp.where(hit, jnp.where(take1, m1.refl_prob, m2.refl_prob), 0.0)
+    zero3 = Vec3(jnp.zeros_like(dist), jnp.zeros_like(dist), jnp.zeros_like(dist))
+    color = m1.color.where(take1, m2.color)
+    color = Vec3(
+        jnp.broadcast_to(color.x, dist.shape),
+        jnp.broadcast_to(color.y, dist.shape),
+        jnp.broadcast_to(color.z, dist.shape),
+    ).where(hit, zero3)
+    return Intersection(hit, dist, norm, glow, refl, color)
+
+
 # --- Cube & hypercube (shader.frag:344-400) ------------------------------
 
 class CubeSpec(NamedTuple):
@@ -433,7 +627,14 @@ def cube_intersection(cube: CubeSpec, ray_o: Vec4, ray_d: Vec4) -> Intersection:
 
 
 class HypercubeSpec(NamedTuple):
-    cubes: tuple  # 8 CubeSpec cells
+    cubes: tuple  # 8 CubeSpec cells (the literal/spec representation)
+    # Generator parameters (center + 4 axes + half-width), kept alongside
+    # the cells for the shared-dot fast path (hypercube_intersection_fast):
+    # all 8 cells' hyperplane/extent dots are +-combinations of the 8
+    # dots (center-origin)*axis_i and direction*axis_i.
+    point: Vec4 = None
+    axes: tuple = None  # (x, y, z, w)
+    r: jnp.ndarray = None
 
 
 def make_hypercube(
@@ -459,7 +660,7 @@ def make_hypercube(
         CubeSpec(point - z * r, -z, x, y, w, r, mzn),
         CubeSpec(point - w * r, -w, x, y, z, r, mwn),
     )
-    return HypercubeSpec(cells)
+    return HypercubeSpec(cells, point, (x, y, z, w), r)
 
 
 def hypercube_intersection(
@@ -473,3 +674,67 @@ def hypercube_intersection(
         take_cand = jnp.logical_and(jnp.logical_not(inter.hit), cand.hit)
         inter = cand.where(take_cand, inter)
     return inter
+
+
+def hypercube_intersection_fast(
+    hypercube: HypercubeSpec, ray_o: Vec4, ray_d: Vec4
+) -> Intersection:
+    """Shared-dot hypercube test: with center c, orthonormal axes a_i and
+    half-width r, every cell's hyperplane offset, facing cosine and the
+    three extent tests are +-combinations of co_i = dot(c - o, a_i) and
+    dd_i = dot(d, a_i) — 8 dots total instead of 8 cells x 5 dots
+    (cube_intersection). Cell order and first-hit-in-order semantics
+    preserved (shader.frag:374-400); values match the literal path up to
+    ulp re-association. Falls back to the literal path when the spec
+    lacks generator params."""
+    if hypercube.point is None or hypercube.axes is None:
+        return hypercube_intersection(hypercube, ray_o, ray_d)
+    c, axes, r = hypercube.point, hypercube.axes, hypercube.r
+    co = [dot(c - ray_o, a) for a in axes]
+    dd = [dot(ray_d, a) for a in axes]
+
+    cells = []
+    # +a_i cells then -a_i cells (make_hypercube's order).
+    for sign in (1.0, -1.0):
+        for i in range(4):
+            # +cell: h = -(co_i + r), cos_dn = -dd_i;  -cell: h = co_i - r,
+            # cos_dn = dd_i  (vec_n = -space_norm, cube_intersection).
+            # ``sign`` is static: the branch resolves at trace time.
+            h = -(co[i] + r) if sign > 0 else co[i] - r
+            cos_dn = -dd[i] if sign > 0 else dd[i]
+            facing = jnp.logical_and(h >= 0.0, cos_dn >= 0.0)
+            dist = h / jnp.where(cos_dn == 0.0, 1e-30, cos_dn)
+            inside = facing
+            for j in range(4):
+                if j == i:
+                    continue
+                e = dist * dd[j] - co[j]  # dot(hit - cell_center, a_j)
+                inside = jnp.logical_and(inside, jnp.abs(e) <= r)
+            mat = hypercube.cubes[(0 if sign > 0 else 4) + i].material
+            cells.append((inside, dist, i, sign, mat))
+
+    zero = jnp.zeros_like(ray_d.x)
+    taken = zero > jnp.ones_like(zero)  # all-false as a computed compare
+    dist = zero
+    norm = Vec4(zero, zero, zero, zero)
+    glow, refl = zero, zero
+    color = Vec3(zero, zero, zero)
+    for hit_k, dist_k, i, sign, mat in cells:
+        take = jnp.logical_and(jnp.logical_not(taken), hit_k)
+        taken = jnp.logical_or(taken, hit_k)
+        dist = jnp.where(take, dist_k, dist)
+        a = axes[i]
+        norm = Vec4(
+            jnp.where(take, sign * a.x, norm.x),
+            jnp.where(take, sign * a.y, norm.y),
+            jnp.where(take, sign * a.z, norm.z),
+            jnp.where(take, sign * a.w, norm.w),
+        )
+        glow = jnp.where(take, mat.glow, glow)
+        refl = jnp.where(take, mat.refl_prob, refl)
+        color = Vec3(
+            jnp.where(take, mat.color.x, color.x),
+            jnp.where(take, mat.color.y, color.y),
+            jnp.where(take, mat.color.z, color.z),
+        )
+    return Intersection(taken, dist, norm, glow, refl, color)

@@ -120,3 +120,120 @@ def test_plane_pair_hints_unavailable_cases():
     assert plane_pair_hints(scene, plane_norm_hints(scene)) is None
     # No hints -> no pairing.
     assert plane_pair_hints(library.room_with_sphere(), None) is None
+
+
+def test_plane_pair_fold_mixed_scene(rng_np):
+    """Pairing with negative unit normals, unpaired singles and a
+    non-unit-normal plane (which must NOT pair) — still bit-identical."""
+    from fourd_ray_tracing_tpu.models.scene import (
+        Scene,
+        material,
+        plane_norm_hints,
+        plane_pair_hints,
+        space,
+    )
+
+    scene = Scene(spaces=(
+        space((2, 0, 0, 0), (-1, 0, 0, 0), material(0, 0, (1, 0, 0))),   # pair A
+        space((0, 5, 0, 0), (0, 1, 0, 0), material(0, 0, (0, 1, 0))),    # single (no partner)
+        space((-2, 0, 0, 0), (1, 0, 0, 0), material(0, 0, (0, 0, 1))),   # pair A
+        space((0, 0, 3, 0), (0, 0, 2, 0), material(0, 0, (1, 1, 0))),    # non-unit: single
+        space((0, 0, -3, 0), (0, 0, 1, 0), material(0, 0, (1, 0, 1))),   # no partner (other is non-unit)
+    ))
+    hints = plane_norm_hints(scene)
+    pairs = plane_pair_hints(scene, hints)
+    assert pairs is not None
+    pair_list, singles = pairs
+    assert pair_list == ((2, 0, 0),)  # offsets -2 < 2 along x
+    assert set(singles) == {1, 3, 4}
+
+    o_np = rng_np.uniform(-4, 4, size=(1024, 4)).astype(np.float32)
+    d_np = rng_np.normal(size=(1024, 4)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec4.unstack(jnp.asarray(o_np))
+    d = Vec4.unstack(jnp.asarray(d_np.astype(np.float32)))
+    a = intersect_scene_fast(scene, o, d, plane_hints=hints)
+    b = intersect_scene_fast(scene, o, d, plane_hints=hints, plane_pairs=pairs)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.dist), np.asarray(b.dist))
+    for ca, cb in zip(a.norm, b.norm):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    for ca, cb in zip(a.color, b.color):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+@pytest.mark.parametrize("which", ["tiger", "duocylinder"])
+def test_shared_projection_fast_paths(which, rng_np):
+    """tiger_intersection_fast / cylinders_union_intersection_fast (one
+    projection per cylinder family, clips in squared space) vs the
+    literal per-face re-projection: same hits, distances/normals to
+    ~1e-5 (re-associated float ops)."""
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+
+    o_np = rng_np.uniform(-4, 4, size=(4096, 4)).astype(np.float32)
+    d_np = rng_np.normal(size=(4096, 4)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec4.unstack(jnp.asarray(o_np))
+    d = Vec4.unstack(jnp.asarray(d_np.astype(np.float32)))
+
+    if which == "tiger":
+        t = library.tiger().tiger
+        a = geo.tiger_intersection(t, o, d)
+        b = geo.tiger_intersection_fast(t, o, d)
+    else:
+        u = library.duocylinder().cylinders_union
+        a = geo.cylinders_union_intersection(u[0], u[1], o, d)
+        b = geo.cylinders_union_intersection_fast(u[0], u[1], o, d)
+
+    flips = np.asarray(a.hit) != np.asarray(b.hit)
+    assert flips.mean() <= 0.001, f"{flips.sum()} hit flips"
+    both = np.asarray(a.hit) & np.asarray(b.hit)
+    rel = np.abs(np.asarray(a.dist)[both] - np.asarray(b.dist)[both]) / np.maximum(
+        np.asarray(a.dist)[both], 1.0
+    )
+    assert rel.max() < 1e-4
+    for ca, cb in zip(a.norm, b.norm):
+        assert np.abs(np.asarray(ca)[both] - np.asarray(cb)[both]).max() < 1e-4
+    assert (np.asarray(a.glow)[both] == np.asarray(b.glow)[both]).all()
+
+
+def test_hypercube_fast_matches_literal(rng_np):
+    """hypercube_intersection_fast (8 shared dots, static cell signs) vs
+    the literal 8x cube_intersection: same hits/materials, distances to
+    ulp re-association, first-hit-in-order semantics preserved."""
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+
+    hc = library.hypercube().hypercube
+    o_np = rng_np.uniform(-4, 4, size=(4096, 4)).astype(np.float32)
+    d_np = rng_np.normal(size=(4096, 4)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec4.unstack(jnp.asarray(o_np))
+    d = Vec4.unstack(jnp.asarray(d_np.astype(np.float32)))
+    a = geo.hypercube_intersection(hc, o, d)
+    b = geo.hypercube_intersection_fast(hc, o, d)
+    flips = np.asarray(a.hit) != np.asarray(b.hit)
+    assert flips.mean() <= 0.001
+    both = np.asarray(a.hit) & np.asarray(b.hit)
+    rel = np.abs(np.asarray(a.dist)[both] - np.asarray(b.dist)[both]) / np.maximum(
+        np.asarray(a.dist)[both], 1.0
+    )
+    assert rel.max() < 1e-5
+    for ca, cb in zip(a.norm, b.norm):
+        np.testing.assert_array_equal(np.asarray(ca)[both], np.asarray(cb)[both])
+    np.testing.assert_array_equal(np.asarray(a.glow)[both], np.asarray(b.glow)[both])
+
+
+def test_hypercube_fast_without_generator_params(rng_np):
+    """A HypercubeSpec built directly from cells (no generator params)
+    falls back to the literal path."""
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+
+    hc = library.hypercube().hypercube
+    bare = geo.HypercubeSpec(hc.cubes)
+    o = Vec4.of(0.0, -2.0, 0.0, 0.0)
+    d = Vec4.of(0.0, 1.0, 0.0, 0.0)
+    o = Vec4(*(jnp.broadcast_to(c, (4,)) for c in o))
+    d = Vec4(*(jnp.broadcast_to(c, (4,)) for c in d))
+    a = geo.hypercube_intersection_fast(bare, o, d)
+    b = geo.hypercube_intersection(hc, o, d)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
