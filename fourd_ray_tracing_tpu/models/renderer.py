@@ -31,6 +31,7 @@ Behavior contract (reference = shader.frag:471-528):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -150,6 +151,64 @@ def primary_directions(camera: Camera, scr_x, scr_y) -> Vec4:
     return normalize(vec_to_mtr + top * my + right * mx)
 
 
+class Bounce0(NamedTuple):
+    """Sample-invariant state after bounce 0 (precompute_bounce0).
+
+    All samples of a pixel share one primary ray (shader.frag:519), so
+    everything bounce 0 computes EXCEPT the stochastic direction update
+    — intersection, env/emission shading, throughput, the stepped
+    origin, even the mirror reflection of the primary direction — is
+    identical across the sample loop. The caller hoists it out and pays
+    it once per pixel instead of once per sample; trace_rays resumes
+    from bounce 1 with only the per-sample RNG draws and the direction
+    select left to do. Bit-identical results (same ops, same order).
+    """
+
+    result: "Vec3"        # emission (+escaped env) collected at bounce 0
+    throughput: "Vec3"
+    o: "Vec4"             # origin stepped to the bounce-0 hit
+    alive_f: jnp.ndarray  # 1.0 where bounce 0 hit (f32: Mosaic carry-safe)
+    mirrored: "Vec4"      # reflect(primary_d, norm0)
+    refl_prob: jnp.ndarray
+    norm: "Vec4"
+
+
+def precompute_bounce0(
+    scene: Scene, ray_o: Vec4, ray_d: Vec4, cfg: RenderConfig
+) -> Bounce0:
+    """The sample-invariant half of bounce 0 (see Bounce0).
+
+    Op-for-op the same computation the first trace_rays iteration used
+    to perform with an all-true alive mask, so hoisting it preserves
+    bit-exact images in both RNG modes.
+    """
+    o, d = ray_o, ray_d
+    inter = intersect_scene(
+        scene, o, d, cfg.intersect,
+        plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+    )
+    zero3 = Vec3.full(0.0, like=jnp.zeros(d.x.shape, jnp.float32))
+    result = zero3
+    if scene.environment is not None and scene.environment.enabled:
+        escaped = jnp.logical_not(inter.hit)
+        env = final_light(scene.environment, d)
+        result = result + env.where(escaped, zero3)
+    alive = inter.hit
+    result = result + (inter.color * inter.glow).where(alive, zero3)
+    throughput = inter.color.where(alive, Vec3.full(1.0, like=zero3.x))
+    new_o = o + d * inter.dist + inter.norm * jnp.float32(cfg.small_indent)
+    o = new_o.where(alive, o)
+    return Bounce0(
+        result=result,
+        throughput=throughput,
+        o=o,
+        alive_f=jnp.where(alive, 1.0, 0.0),
+        mirrored=reflect(d, inter.norm),
+        refl_prob=inter.refl_prob,
+        norm=inter.norm,
+    )
+
+
 def trace_rays(
     scene: Scene,
     ray_o: Vec4,
@@ -158,7 +217,7 @@ def trace_rays(
     seed: jnp.ndarray,
     counter: jnp.ndarray,
     cfg: RenderConfig,
-    first=None,
+    pre0: Bounce0 | None = None,
 ):
     """One sample per lane: the trace() loop (shader.frag:471-495).
 
@@ -166,10 +225,11 @@ def trace_rays(
     scalar reference loop; RNG counters advance only where the scalar
     code would call rand().
 
-    ``first`` optionally supplies a precomputed bounce-0 Intersection:
-    all samples of a pixel share one primary ray (shader.frag:519), so
-    the caller's sample loop hoists the first intersect out and pays it
-    once per pixel instead of once per sample — bit-identical results.
+    ``pre0`` optionally supplies the hoisted sample-invariant bounce-0
+    state (precompute_bounce0): the loop then starts at bounce 1 after
+    performing only bounce 0's per-sample direction update —
+    bit-identical results at one bounce-0 shade per PIXEL instead of
+    per sample.
     """
     o, d = ray_o, ray_d
     # (plain zeros, not an astype of pixel_bits: Mosaic has no u32->f32 cast)
@@ -177,15 +237,47 @@ def trace_rays(
     throughput = Vec3.full(1.0, like=result.x)
     # all-true as a computed compare (Mosaic lacks i1 vector constants)
     alive = jnp.zeros(pixel_bits.shape, jnp.float32) < 1.0
+    start_bounce = 0
 
-    for bounce in range(cfg.reflections_amount + 1):
-        if bounce == 0 and first is not None:
-            inter = first
-        else:
-            inter = intersect_scene(
-                scene, o, d, cfg.intersect,
-                plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
-            )
+    if pre0 is not None:
+        alive = pre0.alive_f > 0.5
+        result = pre0.result
+        throughput = pre0.throughput
+        o = pre0.o
+        if cfg.reflections_amount == 0:
+            # Bounce 0 is the final iteration: shade only, but a
+            # sequential stream still pays the reference's dead
+            # final-iteration draws (shader.frag:488-491).
+            if cfg.rng_mode == "sequential":
+                u_refl, counter = rng.masked_uniform01(
+                    pixel_bits, seed, counter, alive
+                )
+                diffuse = jnp.logical_and(alive, u_refl > pre0.refl_prob)
+                for _ in range(3):
+                    _, counter = rng.masked_uniform01(
+                        pixel_bits, seed, counter, diffuse
+                    )
+            return result, counter
+        # Bounce 0's per-sample direction update (shader.frag:488-491).
+        u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
+        mirror = u_refl <= pre0.refl_prob
+        diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
+        u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        rand_dir = direction_from_uniforms(
+            u_w, u_z, u_fi, method=cfg.sampler_method,
+            kepler_iters=cfg.sampler_iters,
+        )
+        scattered = redirect(rand_dir, pre0.norm)
+        d = pre0.mirrored.where(mirror, scattered).where(alive, d)
+        start_bounce = 1
+
+    for bounce in range(start_bounce, cfg.reflections_amount + 1):
+        inter = intersect_scene(
+            scene, o, d, cfg.intersect,
+            plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+        )
 
         env_on = scene.environment is not None and scene.environment.enabled
         if env_on:  # static: disabled env compiles away (room scene)
@@ -304,8 +396,9 @@ def render_light_tile(
         # Explicitly device-varying initial carry (see docstring).
         zero3, counter0 = jax.lax.pcast((zero3, counter0), vary_axes, to="varying")
     # All samples share the primary ray (shader.frag:519) — hoist the
-    # sample-invariant bounce-0 intersection out of the sample loop.
-    first = intersect_scene(scene, o, d, cfg.intersect)
+    # sample-invariant bounce-0 intersection AND shading out of the
+    # sample loop (precompute_bounce0; bit-identical).
+    pre0 = precompute_bounce0(scene, o, d, cfg)
 
     # Backward-pass rematerialization: recompute each sample's bounce
     # trajectory instead of saving per-bounce ray state (diff.py).
@@ -319,7 +412,7 @@ def render_light_tile(
         def sample_body(s, state):
             acc, counter = state
             bits = sample_stream_bits(pixel_bits, sample0 + jnp.uint32(s))
-            light, _ = traced(scene, o, d, bits, seed, counter0, cfg, first)
+            light, _ = traced(scene, o, d, bits, seed, counter0, cfg, pre0)
             return acc + light, counter
 
     else:
@@ -333,7 +426,7 @@ def render_light_tile(
         def sample_body(s, state):
             acc, counter = state
             light, counter = traced(
-                scene, o, d, pixel_bits, seed, counter, cfg, first
+                scene, o, d, pixel_bits, seed, counter, cfg, pre0
             )
             return acc + light, counter
 

@@ -90,3 +90,68 @@ def arccos(x: jnp.ndarray) -> jnp.ndarray:
 def arcsin(x: jnp.ndarray) -> jnp.ndarray:
     """asin(x) = pi/2 - acos(x)."""
     return _HALF_PI - arccos(x)
+
+
+# sin(2*pi*x)/x and cos(2*pi*x) as polynomials in u = x^2 over the
+# quadrant-reduced range x in [-1/8, 1/8] (Chebyshev fits, max f32
+# evaluation error ~1e-7 — the float32 rounding floor; fit residual in
+# f64 is <1e-10).
+_SIN2PI_COEFFS = tuple(
+    np.float32(c)
+    for c in (
+        6.2831853071e00,
+        -4.1341702134e01,
+        8.1605201758e01,
+        -7.6697740910e01,
+        4.1472862296e01,
+    )
+)
+_COS2PI_COEFFS = tuple(
+    np.float32(c)
+    for c in (
+        9.9999999990e-01,
+        -1.9739208617e01,
+        6.4939310978e01,
+        -8.5442625666e01,
+        5.9220223797e01,
+    )
+)
+
+
+def _horner(u: jnp.ndarray, coeffs) -> jnp.ndarray:
+    acc = jnp.full_like(u, coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * u + c
+    return acc
+
+
+def sincos_2pi(u: jnp.ndarray):
+    """(sin(2*pi*u), cos(2*pi*u)) for u in turns, sharing one quadrant
+    reduction and two small Horner polynomials.
+
+    The production S^3 sampler's azimuth is a uniform draw in [0, 1)
+    scaled by 2*pi (shader.frag:156-158); evaluating both circular
+    functions from the TURN fraction skips the generic large-angle
+    argument reduction XLA's sin/cos must perform and costs ~30 VPU ops
+    for the pair. Max error ~1e-7 (f32 floor) — far inside the
+    reference's own 2^-12 sampler tolerance. Used only by the production
+    sampler modes ("poly"/"kepler"); the oracle-parity "newton" mode
+    keeps jnp.sin/jnp.cos (ops/sampler.py).
+    """
+    u = jnp.asarray(u, jnp.float32)
+    # Quadrant: n = round(4u); x = u - n/4 in [-1/8, 1/8] (turns).
+    n = jnp.round(u * 4.0)
+    x = u - n * 0.25
+    u2 = x * x
+    s0 = x * _horner(u2, _SIN2PI_COEFFS)  # sin(2*pi*x)
+    c0 = _horner(u2, _COS2PI_COEFFS)      # cos(2*pi*x)
+    q = n - 4.0 * jnp.floor(n * 0.25)     # n mod 4 in {0, 1, 2, 3}
+    odd = jnp.logical_or(q == 1.0, q == 3.0)
+    # sin(2*pi*u) by quadrant: [s0, c0, -s0, -c0]; cos: [c0, -s0, -c0, s0].
+    sin_base = jnp.where(odd, c0, s0)
+    cos_base = jnp.where(odd, s0, c0)
+    sin = jnp.where(q >= 2.0, -sin_base, sin_base)
+    cos = jnp.where(
+        jnp.logical_or(q == 1.0, q == 2.0), -cos_base, cos_base
+    )
+    return sin, cos

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fourd_ray_tracing_tpu.camera import Camera
 from fourd_ray_tracing_tpu.models.renderer import (
     RenderConfig,
+    precompute_bounce0,
     sample_stream_bits,
     trace_rays,
 )
@@ -99,7 +100,7 @@ def _pack_pytree(tree):
 
 
 def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
-                     first=None):
+                     pre0=None):
     """trace() as a lax.fori_loop — one bounce-body compilation instead
     of reflections_amount+1 copies, which cuts Mosaic compile time ~5x on
     heavy scenes (the tiger's 8-face intersect makes unrolled kernels
@@ -110,6 +111,10 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
     runs on the final iteration with its output unused (legal exactly
     because per-sample RNG streams reset each sample — the jnp renderer
     keeps the break form to support sequential streams too).
+
+    ``pre0``: hoisted sample-invariant bounce-0 state
+    (renderer.precompute_bounce0) — only the per-sample direction update
+    of bounce 0 runs here, then the loop starts at bounce 1.
     """
     zero3 = Vec3.full(0.0, like=jnp.zeros(pixel_bits.shape, jnp.float32))
 
@@ -176,15 +181,32 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
         return result, counter
 
     ones = jnp.ones(pixel_bits.shape, jnp.float32)
-    state = (ray_o, ray_d, zero3, Vec3.full(1.0, like=zero3.x), ones, counter)
-    if cfg.reflections_amount == 0:
-        return tail(state, inter=first)
     start = 0
-    if first is not None:
-        # Peel bounce 0 so the hoisted sample-invariant intersection is
-        # used without a select inside the loop body.
-        state = body(0, state, inter=first)
+    if pre0 is not None:
+        if cfg.reflections_amount == 0:
+            # Shade-only final bounce, entirely precomputed per pixel.
+            return pre0.result, counter
+        # Bounce 0's per-sample direction update (everything else is in
+        # pre0); op order matches renderer.trace_rays' pre0 branch.
+        alive = pre0.alive_f > 0.5
+        u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
+        mirror = u_refl <= pre0.refl_prob
+        diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
+        u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+        rand_dir = direction_from_uniforms(
+            u_w, u_z, u_fi, method=cfg.sampler_method,
+            kepler_iters=cfg.sampler_iters,
+        )
+        scattered = redirect(rand_dir, pre0.norm)
+        d = pre0.mirrored.where(mirror, scattered).where(alive, ray_d)
+        state = (pre0.o, d, pre0.result, pre0.throughput, pre0.alive_f, counter)
         start = 1
+    else:
+        state = (ray_o, ray_d, zero3, Vec3.full(1.0, like=zero3.x), ones, counter)
+        if cfg.reflections_amount == 0:
+            return tail(state)
     state = jax.lax.fori_loop(start, cfg.reflections_amount, body, state)
     return tail(state)
 
@@ -243,16 +265,14 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     zero3 = Vec3.full(0.0, like=scr_x * 0.0)
 
     trace = _trace_rays_fori if cfg.bounce_loop == "fori" else trace_rays
-    # Sample-invariant bounce-0 intersection, hoisted out of the sample
-    # loop (all samples share the primary ray, shader.frag:519).
-    first = intersect_scene(
-        scene, focus, d, cfg.intersect,
-        plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
-    )
+    # Sample-invariant bounce-0 intersection AND shading, hoisted out of
+    # the sample loop (all samples share the primary ray,
+    # shader.frag:519) — paid once per pixel instead of once per sample.
+    pre0 = precompute_bounce0(scene, focus, d, cfg)
 
     def sample_body(s, acc):
         bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
-        light, _ = trace(scene, focus, d, bits, seed, counter0, cfg, first=first)
+        light, _ = trace(scene, focus, d, bits, seed, counter0, cfg, pre0=pre0)
         return acc + light
 
     acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)

@@ -229,5 +229,16 @@ def direction_from_uniforms(
     r = jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0))
     z = (u_z * 2.0 - 1.0) * r
     rho = jnp.sqrt(jnp.maximum(r * r - z * z, 0.0))
-    fi = u_fi * TWO_PI
-    return Vec4(rho * jnp.cos(fi), rho * jnp.sin(fi), z, w)
+    if method == "newton":
+        # Oracle-parity mode: the exact library circular functions, like
+        # the reference's cos/sin of the radian angle (shader.frag:128-129).
+        fi = u_fi * TWO_PI
+        sin_fi, cos_fi = jnp.sin(fi), jnp.cos(fi)
+    else:
+        # Production modes: evaluate both circular functions straight
+        # from the turn fraction (one quadrant reduction, two small
+        # polynomials — ops/fastmath.sincos_2pi, ~1e-7 = f32 floor).
+        from fourd_ray_tracing_tpu.ops.fastmath import sincos_2pi
+
+        sin_fi, cos_fi = sincos_2pi(u_fi)
+    return Vec4(rho * cos_fi, rho * sin_fi, z, w)
