@@ -11,11 +11,14 @@ guarantee across its sample `fori_loop`.
 
 Design:
 
-* The kernel REUSES the shared math: `trace_rays` (models/renderer.py),
-  the geometry ops, the RNG and the Kepler sampler are shape-polymorphic
-  pure-jnp functions, so they trace straight into the Mosaic kernel.
-  One implementation, two compilation targets — jnp/XLA (oracle, autodiff)
-  and Pallas (production forward).
+* The kernel REUSES the shared math: `precompute_bounce0`
+  (models/renderer.py), the geometry ops, the RNG and the samplers are
+  shape-polymorphic pure-jnp functions, so they trace straight into the
+  Mosaic kernel; `_trace_rays_kernel` mirrors renderer.trace_rays
+  op-for-op (per-sample RNG) and adds the per-tile early exit + the
+  fori/unroll bounce-loop choice. One math implementation, two
+  compilation targets — jnp/XLA (oracle, autodiff) and Pallas
+  (production forward).
 * Scene + camera enter as ONE packed (N,) float32 array in SMEM; the
   static pytree structure is closed over, so inside the kernel the packed
   scalars are re-assembled into the same Scene/Camera pytrees the jnp
@@ -48,7 +51,6 @@ from fourd_ray_tracing_tpu.models.renderer import (
     RenderConfig,
     precompute_bounce0,
     sample_stream_bits,
-    trace_rays,
 )
 from fourd_ray_tracing_tpu.models.scene import (
     Scene,
@@ -99,18 +101,16 @@ def _pack_pytree(tree):
     return packed, rebuild
 
 
-def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
-                     pre0=None):
-    """trace() as a lax.fori_loop — one bounce-body compilation instead
-    of reflections_amount+1 copies, which cuts Mosaic compile time ~5x on
-    heavy scenes (the tiger's 8-face intersect makes unrolled kernels
-    minutes-slow to compile).
+def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
+                       pre0=None, unroll=False):
+    """trace() for the megakernel: a lax.fori_loop over bounces
+    (``unroll=False`` — one bounce-body compilation, ~5x faster Mosaic
+    compiles on heavy scenes like the tiger's 8-face intersect) or the
+    same body unrolled (``unroll=True`` — fastest steady state).
 
     Identical math/op-order to renderer.trace_rays, so the image is
-    bit-identical; the only difference is that the direction sampler also
-    runs on the final iteration with its output unused (legal exactly
-    because per-sample RNG streams reset each sample — the jnp renderer
-    keeps the break form to support sequential streams too).
+    bit-identical (this kernel is per-sample RNG only; sequential
+    streams live in the jnp renderer).
 
     ``pre0``: hoisted sample-invariant bounce-0 state
     (renderer.precompute_bounce0) — only the per-sample direction update
@@ -118,6 +118,13 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
     """
     zero3 = Vec3.full(0.0, like=jnp.zeros(pixel_bits.shape, jnp.float32))
 
+    # NOTE on per-tile bounce early exit (tried, measured, REJECTED):
+    # wrapping the body in a scalar lax.cond that skips all-dead tiles is
+    # bit-exact (every update below is masked by ``alive``), but the
+    # scf.if region costs ~17% on the closed-room headline and gains ~1%
+    # even on sky-heavy env scenes (interleaved A/B, 5 rounds) — the
+    # branch blocks Mosaic's cross-bounce scheduling for more than the
+    # skipped work is worth at these tile sizes.
     def body(_, state, inter=None):
         # alive crosses the loop as f32 (Mosaic can't carry i1 vectors
         # through scf.for) and is re-derived as a mask each iteration.
@@ -207,7 +214,11 @@ def _trace_rays_fori(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
         state = (ray_o, ray_d, zero3, Vec3.full(1.0, like=zero3.x), ones, counter)
         if cfg.reflections_amount == 0:
             return tail(state)
-    state = jax.lax.fori_loop(start, cfg.reflections_amount, body, state)
+    if unroll:
+        for i in range(start, cfg.reflections_amount):
+            state = body(i, state)
+    else:
+        state = jax.lax.fori_loop(start, cfg.reflections_amount, body, state)
     return tail(state)
 
 
@@ -264,7 +275,11 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     counter0 = rng.init_counter(seed, pixel_bits.shape)
     zero3 = Vec3.full(0.0, like=scr_x * 0.0)
 
-    trace = _trace_rays_fori if cfg.bounce_loop == "fori" else trace_rays
+    # Both loop modes share one bounce body with the per-tile early exit
+    # (_trace_rays_kernel); "unroll" just unrolls it at trace time.
+    trace = functools.partial(
+        _trace_rays_kernel, unroll=cfg.bounce_loop != "fori"
+    )
     # Sample-invariant bounce-0 intersection AND shading, hoisted out of
     # the sample loop (all samples share the primary ray,
     # shader.frag:519) — paid once per pixel instead of once per sample.
