@@ -2,9 +2,10 @@
 
 This is the executable spec (SURVEY §4.1's "golden-image oracle") and at
 the same time the production differentiable forward: a pure jnp pipeline
-over SoA ray batches that runs on CPU (tests), TPU via jit/XLA fusion,
-and whose inner `trace_rays` is reused verbatim by the Pallas megakernel
-(ops/pallas/megakernel.py) on VMEM-resident tiles.
+over SoA ray batches that runs on CPU (tests) and TPU via jit/XLA
+fusion. The Pallas megakernel (ops/pallas/megakernel.py) reuses
+`precompute_bounce0`, `bounce0_direction_update` and the shared ops, and
+mirrors `trace_rays` op-for-op with its own kernel-side bounce loop.
 
 Behavior contract (reference = shader.frag:471-528):
 
@@ -209,6 +210,34 @@ def precompute_bounce0(
     )
 
 
+def bounce0_direction_update(
+    pre0: Bounce0,
+    ray_d: Vec4,
+    pixel_bits: jnp.ndarray,
+    seed: jnp.ndarray,
+    counter: jnp.ndarray,
+    cfg: RenderConfig,
+):
+    """Bounce 0's per-sample direction update (shader.frag:488-491) — the
+    only non-hoistable piece of bounce 0 (see Bounce0). Shared op-for-op
+    by trace_rays and the Pallas megakernel so the jnp/Pallas bit-identity
+    contract has a single implementation. Returns (new_d, counter)."""
+    alive = pre0.alive_f > 0.5
+    u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
+    mirror = u_refl <= pre0.refl_prob
+    diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
+    u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+    u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+    u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
+    rand_dir = direction_from_uniforms(
+        u_w, u_z, u_fi, method=cfg.sampler_method,
+        kepler_iters=cfg.sampler_iters,
+    )
+    scattered = redirect(rand_dir, pre0.norm)
+    d = pre0.mirrored.where(mirror, scattered).where(alive, ray_d)
+    return d, counter
+
+
 def trace_rays(
     scene: Scene,
     ray_o: Vec4,
@@ -258,19 +287,9 @@ def trace_rays(
                         pixel_bits, seed, counter, diffuse
                     )
             return result, counter
-        # Bounce 0's per-sample direction update (shader.frag:488-491).
-        u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
-        mirror = u_refl <= pre0.refl_prob
-        diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
-        u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        rand_dir = direction_from_uniforms(
-            u_w, u_z, u_fi, method=cfg.sampler_method,
-            kepler_iters=cfg.sampler_iters,
+        d, counter = bounce0_direction_update(
+            pre0, d, pixel_bits, seed, counter, cfg
         )
-        scattered = redirect(rand_dir, pre0.norm)
-        d = pre0.mirrored.where(mirror, scattered).where(alive, d)
         start_bounce = 1
 
     for bounce in range(start_bounce, cfg.reflections_amount + 1):

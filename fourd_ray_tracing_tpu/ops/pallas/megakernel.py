@@ -11,14 +11,15 @@ guarantee across its sample `fori_loop`.
 
 Design:
 
-* The kernel REUSES the shared math: `precompute_bounce0`
-  (models/renderer.py), the geometry ops, the RNG and the samplers are
-  shape-polymorphic pure-jnp functions, so they trace straight into the
-  Mosaic kernel; `_trace_rays_kernel` mirrors renderer.trace_rays
-  op-for-op (per-sample RNG) and adds the per-tile early exit + the
-  fori/unroll bounce-loop choice. One math implementation, two
-  compilation targets — jnp/XLA (oracle, autodiff) and Pallas
-  (production forward).
+* The kernel REUSES the shared math: `precompute_bounce0` and
+  `bounce0_direction_update` (models/renderer.py), the geometry ops, the
+  RNG and the samplers are shape-polymorphic pure-jnp functions, so they
+  trace straight into the Mosaic kernel; `_trace_rays_kernel` mirrors
+  renderer.trace_rays op-for-op (per-sample RNG) and adds the
+  fori/unroll bounce-loop choice. (A per-tile early exit was tried and
+  rejected — see the NOTE in _trace_rays_kernel.) One math
+  implementation, two compilation targets — jnp/XLA (oracle, autodiff)
+  and Pallas (production forward).
 * Scene + camera enter as ONE packed (N,) float32 array in SMEM; the
   static pytree structure is closed over, so inside the kernel the packed
   scalars are re-assembled into the same Scene/Camera pytrees the jnp
@@ -49,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fourd_ray_tracing_tpu.camera import Camera
 from fourd_ray_tracing_tpu.models.renderer import (
     RenderConfig,
+    bounce0_direction_update,
     precompute_bounce0,
     sample_stream_bits,
 )
@@ -194,20 +196,10 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
             # Shade-only final bounce, entirely precomputed per pixel.
             return pre0.result, counter
         # Bounce 0's per-sample direction update (everything else is in
-        # pre0); op order matches renderer.trace_rays' pre0 branch.
-        alive = pre0.alive_f > 0.5
-        u_refl, counter = rng.masked_uniform01(pixel_bits, seed, counter, alive)
-        mirror = u_refl <= pre0.refl_prob
-        diffuse = jnp.logical_and(alive, jnp.logical_not(mirror))
-        u_w, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        u_z, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        u_fi, counter = rng.masked_uniform01(pixel_bits, seed, counter, diffuse)
-        rand_dir = direction_from_uniforms(
-            u_w, u_z, u_fi, method=cfg.sampler_method,
-            kepler_iters=cfg.sampler_iters,
+        # pre0); one shared implementation with renderer.trace_rays.
+        d, counter = bounce0_direction_update(
+            pre0, ray_d, pixel_bits, seed, counter, cfg
         )
-        scattered = redirect(rand_dir, pre0.norm)
-        d = pre0.mirrored.where(mirror, scattered).where(alive, ray_d)
         state = (pre0.o, d, pre0.result, pre0.throughput, pre0.alive_f, counter)
         start = 1
     else:
@@ -275,8 +267,8 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     counter0 = rng.init_counter(seed, pixel_bits.shape)
     zero3 = Vec3.full(0.0, like=scr_x * 0.0)
 
-    # Both loop modes share one bounce body with the per-tile early exit
-    # (_trace_rays_kernel); "unroll" just unrolls it at trace time.
+    # Both loop modes share one bounce body (_trace_rays_kernel);
+    # "unroll" just unrolls it at trace time.
     trace = functools.partial(
         _trace_rays_kernel, unroll=cfg.bounce_loop != "fori"
     )
