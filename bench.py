@@ -6,10 +6,12 @@ Default (BENCH_MODE=full) runs every BASELINE.md workload:
   2. room_with_sphere    1280x720 x 8 spp x 4 bounces  (the HEADLINE)
   3. hypercube           1280x720 x 8 spp x 4 bounces  (diffuse sampler hot)
   4. duocylinder+tiger   three simultaneous section views (xyz/ywz/yxw),
-                         батched as a leading view axis in ONE launch
-  5. inverse rendering   loss+grad step on room_with_sphere (jnp pipeline
-                         with per-sample remat; the Pallas kernel is the
-                         forward-only production path)
+                         batched as a leading view axis in ONE launch
+  5. inverse rendering   loss+grad step on room_with_sphere at NORTH-STAR
+                         resolution via the value-and-grad megakernel
+                         (ops/pallas/gradkernel.py), plus the jnp
+                         pipeline (per-sample remat) as the smaller
+                         autodiff cross-check line
 
 Each workload times >= BENCH_ROUNDS rounds of BENCH_FRAMES frames after a
 warmup and reports min/median/max rays/s (the tunneled TPU's throughput
@@ -24,8 +26,12 @@ Roofline accounting (SURVEY §5): per-workload FLOPs/ray from XLA's cost
 analysis of the identical-math jnp pipeline, reported as achieved
 GFLOP/s; the workload streams ~nothing from HBM (scene in SMEM, image
 written once), so arithmetic intensity is effectively infinite and the
-kernel is VPU-compute-bound. Set BENCH_VPU_PEAK_GFLOPS to your chip's
-fp32 VPU peak to get an MFU figure.
+kernel is VPU-compute-bound. Every line also reports `mfu` = achieved /
+DEFAULT_VPU_PEAK_GFLOPS, the chip's MEASURED sustained fp32 fma peak
+(tools/vpu_peak.py; BENCH_VPU_PEAK_GFLOPS overrides). Note the honest
+denominator: XLA counts USEFUL flops only, so masked-dead lanes
+(terminated rays) and transcendental-heavy sampler code depress MFU —
+it is a utilization floor, not a quality ceiling.
 
 BENCH_MODE=single preserves the old env-knob behavior (used by
 tools/ab_bench.py): one workload from BENCH_{SCENE,WIDTH,...}, one line.
@@ -73,7 +79,13 @@ TILE_SUBLANES = int(os.environ.get("BENCH_TILE_SUBLANES", 32))
 SAMPLER = os.environ.get("BENCH_SAMPLER", "poly")
 INTERSECT = os.environ.get("BENCH_INTERSECT", "fast")
 SAMPLER_ITERS = int(os.environ.get("BENCH_SAMPLER_ITERS", 2))
-VPU_PEAK_GFLOPS = float(os.environ.get("BENCH_VPU_PEAK_GFLOPS", 0))
+# Sustained fp32 VPU peak of THIS chip, measured by tools/vpu_peak.py
+# (saturating fma chain; re-run with --update after a hardware change).
+# Every bench line divides its achieved GFLOP/s by this to report `mfu`.
+DEFAULT_VPU_PEAK_GFLOPS = 15429.5
+VPU_PEAK_GFLOPS = float(
+    os.environ.get("BENCH_VPU_PEAK_GFLOPS", DEFAULT_VPU_PEAK_GFLOPS)
+)
 TARGET_RAYS_PER_S = 1e9  # north-star: >= 1 Gray/s per chip
 
 
@@ -104,9 +116,13 @@ def build_cfg(width, height, samples, bounces, loop=None):
     )
 
 
-def make_renderer(scene_name=None, cfg=None, views=("yxz",), impl=None):
+def make_renderer(scene_name=None, cfg=None, views=("yxz",), impl=None,
+                  frames_per_launch=1):
     """(jitted seed->image fn, rays/frame). Kept import-stable for
-    tools/ab_bench.py."""
+    tools/ab_bench.py. ``frames_per_launch`` > 1 (pallas only) renders
+    that many whole frames (distinct seeds) per dispatch via the
+    megakernel's grid frame axis — the interactive-scale batching that
+    lifts dispatch-bound workloads off the launch-overhead floor."""
     cfg = cfg or build_cfg(WIDTH, HEIGHT, SAMPLES, BOUNCES)
     scene = library.SCENES[scene_name or SCENE]()
     if os.environ.get("BENCH_PAIRS") == "off" and cfg.intersect == "fast":
@@ -124,6 +140,14 @@ def make_renderer(scene_name=None, cfg=None, views=("yxz",), impl=None):
     if impl == "pallas":
         from fourd_ray_tracing_tpu.ops.pallas.megakernel import render_image_pallas
 
+        if frames_per_launch > 1:
+            k = np.uint32(frames_per_launch)
+
+            def fn(seed):
+                seeds = jnp.uint32(seed) * k + jnp.arange(k, dtype=jnp.uint32)
+                return render_image_pallas(scene, camera, cfg, seeds)
+
+            return jax.jit(fn)
         return jax.jit(lambda seed: render_image_pallas(scene, camera, cfg, seed))
     from fourd_ray_tracing_tpu.models.renderer import render_image
 
@@ -175,10 +199,13 @@ def emit(payload):
 
 
 def run_forward_workload(name, scene_name, width, height, samples, bounces,
-                         views=("yxz",), loop=None):
+                         views=("yxz",), loop=None, frames_per_launch=1):
     cfg = build_cfg(width, height, samples, bounces, loop=loop)
-    fn = make_renderer(scene_name, cfg, views)
-    rays = len(views) * width * height * samples
+    if IMPL != "pallas":
+        frames_per_launch = 1  # grid frame axis is a megakernel feature
+    fn = make_renderer(scene_name, cfg, views,
+                       frames_per_launch=frames_per_launch)
+    rays = len(views) * width * height * samples * frames_per_launch
     out = jax.block_until_ready(fn(np.uint32(1)))
     assert bool(jnp.isfinite(out).all()), f"non-finite pixels in {name}"
     # Small workloads are dispatch-bound per frame; run enough frames per
@@ -192,49 +219,120 @@ def run_forward_workload(name, scene_name, width, height, samples, bounces,
         "rays_per_frame": rays,
         "vs_baseline": med / TARGET_RAYS_PER_S,
     }
+    if frames_per_launch > 1:
+        payload["frames_per_launch"] = frames_per_launch
     if fpr is not None:
         payload["flops_per_ray"] = round(fpr, 1)
         payload["achieved_gflops"] = round(med * fpr / 1e9, 1)
         if VPU_PEAK_GFLOPS > 0:
-            payload["mfu_vs_vpu_peak"] = round(med * fpr / 1e9 / VPU_PEAK_GFLOPS, 3)
+            # MFU against the MEASURED fp32 VPU peak (tools/vpu_peak.py)
+            # — the right roofline for a zero-matmul elementwise kernel.
+            payload["mfu"] = round(med * fpr / 1e9 / VPU_PEAK_GFLOPS, 3)
+            payload["vpu_peak_gflops"] = VPU_PEAK_GFLOPS
     emit(payload)
     return med
 
 
-def run_grad_workload(width, height, samples, bounces):
-    """Inverse-rendering step: loss + full scene gradient, jnp pipeline
-    (per-sample remat). Reported as grad_rays_per_second where a "ray"
-    is one traced path of the forward (the backward re-traces each)."""
-    from fourd_ray_tracing_tpu.diff import image_loss
+def run_grad_workload(width, height, samples, bounces, impl="pallas",
+                      workload="inverse_step"):
+    """Inverse-rendering step: loss + full scene gradient. ``impl``:
 
+    * "pallas" — the value-and-grad megakernel (one launch computes loss
+      AND all scene/camera gradients in VMEM; the production train path);
+    * "xla" — jax.value_and_grad of the jnp pipeline with per-sample
+      remat (the autodiff cross-check path).
+
+    Reported as grad_rays_per_second where a "ray" is one traced path of
+    the forward (the backward re-traces each)."""
     cfg = RenderConfig(
         width=width, height=height, samples=samples,
         reflections_amount=bounces, light_coefficient=0.12,
         sampler_method=SAMPLER, rng_mode="per_sample", intersect="fast",
+        tile_sublanes=TILE_SUBLANES,
     )
     scene = library.SCENES["room_with_sphere"]()
     camera = default_camera()
     target = jnp.zeros((height, width, 3), jnp.float32)
 
-    vg = jax.jit(
-        lambda s, seed: jax.value_and_grad(image_loss)(s, camera, cfg, seed, target)
-    )
+    if impl == "pallas":
+        from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+            render_loss_and_grad_pallas,
+        )
 
-    def fn(seed):
-        loss, grads = vg(scene, seed)
-        return loss
+        vg = jax.jit(
+            lambda seed: render_loss_and_grad_pallas(
+                scene, camera, cfg, seed, target
+            )
+        )
+
+        def fn(seed):
+            loss, _grads = vg(seed)
+            return loss
+
+    else:
+        from fourd_ray_tracing_tpu.diff import image_loss
+
+        jvg = jax.jit(
+            lambda s, seed: jax.value_and_grad(image_loss)(
+                s, camera, cfg, seed, target
+            )
+        )
+
+        def fn(seed):
+            loss, grads = jvg(scene, seed)
+            return loss
 
     rays = width * height * samples
     loss = jax.block_until_ready(fn(np.uint32(1)))
     assert bool(jnp.isfinite(loss)), "non-finite loss in grad bench"
     lo, med, hi = time_rounds(fn, rays, frames=max(1, FRAMES // 4))
-    emit({
-        "metric": "grad_rays_per_second", "workload": "inverse_step",
-        "scene": "room_with_sphere", "value": med, "min": lo, "max": hi,
+    payload = {
+        "metric": "grad_rays_per_second", "workload": workload,
+        "scene": "room_with_sphere", "impl": impl,
+        "value": med, "min": lo, "max": hi,
         "unit": "rays/s", "rays_per_frame": rays,
         "vs_baseline": med / TARGET_RAYS_PER_S,
-    })
+    }
+    fpr = grad_flops_per_ray(cfg)
+    if fpr is not None:
+        payload["flops_per_ray"] = round(fpr, 1)
+        payload["achieved_gflops"] = round(med * fpr / 1e9, 1)
+        if VPU_PEAK_GFLOPS > 0:
+            payload["mfu"] = round(med * fpr / 1e9 / VPU_PEAK_GFLOPS, 3)
+            payload["vpu_peak_gflops"] = VPU_PEAK_GFLOPS
+    emit(payload)
     return med
+
+
+def grad_flops_per_ray(cfg):
+    """XLA cost analysis of the jnp value-and-grad at tiny resolution ->
+    FLOPs per traced forward path of the full loss+gradient step (the
+    Pallas grad kernel runs the same estimator's derivative)."""
+    try:
+        import dataclasses
+
+        from fourd_ray_tracing_tpu.diff import image_loss
+
+        small = dataclasses.replace(cfg, width=64, height=32, remat=False)
+        scene = library.SCENES["room_with_sphere"]()
+        camera = default_camera()
+        target = jnp.zeros((small.height, small.width, 3), jnp.float32)
+        compiled = (
+            jax.jit(
+                lambda s, seed: jax.value_and_grad(image_loss)(
+                    s, camera, small, seed, target
+                )
+            )
+            .lower(scene, np.uint32(1)).compile()
+        )
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        rays = small.width * small.height * small.samples
+        return flops / rays if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -249,12 +347,24 @@ def main():
               "unit": "rays/s", "vs_baseline": med / TARGET_RAYS_PER_S})
         return
 
+    # Gradient workloads: the Pallas value-and-grad kernel at NORTH-STAR
+    # resolution (the headline grad number), plus the jnp pipeline at a
+    # smaller size as the autodiff cross-check line.
     grad_res = (
-        int(os.environ.get("BENCH_GRAD_WIDTH", 640)),
-        int(os.environ.get("BENCH_GRAD_HEIGHT", 360)),
+        int(os.environ.get("BENCH_GRAD_WIDTH", WIDTH)),
+        int(os.environ.get("BENCH_GRAD_HEIGHT", HEIGHT)),
     )
+    grad_xla_res = (
+        int(os.environ.get("BENCH_GRAD_XLA_WIDTH", 640)),
+        int(os.environ.get("BENCH_GRAD_XLA_HEIGHT", 360)),
+    )
+    # The interactive-scale workload batches 32 whole frames per launch
+    # (engine.step_frames / the megakernel grid frame axis): one 65K-ray
+    # frame per dispatch is launch-overhead-bound, which is the wrong
+    # thing to measure for an idle progressive-accumulation viewer.
     run_forward_workload(
-        "sphere_plane_light_256", "sphere_plane_light", 256, 256, 1, 2)
+        "sphere_plane_light_256", "sphere_plane_light", 256, 256, 1, 2,
+        frames_per_launch=int(os.environ.get("BENCH_FRAMES_PER_LAUNCH", 32)))
     headline = run_forward_workload(
         "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES, BOUNCES)
     run_forward_workload(
@@ -267,7 +377,12 @@ def main():
     run_forward_workload(
         "tiger_3view", "tiger", WIDTH, HEIGHT, SAMPLES, BOUNCES,
         views=cam.VIEWS_ALL, loop="fori")
-    run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
+    grad_impl = "pallas" if IMPL == "pallas" else "xla"
+    run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES,
+                      impl=grad_impl)
+    if grad_impl == "pallas":
+        run_grad_workload(grad_xla_res[0], grad_xla_res[1], SAMPLES, BOUNCES,
+                          impl="xla", workload="inverse_step_xla")
 
     # The driver parses the LAST line: headline = room-with-sphere median.
     emit({

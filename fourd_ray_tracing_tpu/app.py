@@ -208,17 +208,66 @@ def run_frames(engine: RenderEngine, meter: Meter, n: int, quiet=False,
         log0(meter.stats.as_json())
 
 
+class CaptureState:
+    """Mouse-capture state machine (controls.cpp:194-205 + main.cpp:85,
+    97-102), headless:
+
+    * the app starts UNCAPTURED; rendering, movement and mouse-look are
+      gated on capture exactly like the reference frame loop runs only
+      `if (mouseHidden)` (main.cpp:85);
+    * `capture` = MouseButtonPressed (controls.cpp:194-198): hides the
+      cursor, captures, and arms `fps_suppress` (mouseJustHidden) so the
+      FPS overlay skips the FIRST rendered frame after capture
+      (main.cpp:97-102 — the frame timer just restarted, its reading
+      would be garbage);
+    * `escape` = Escape key (controls.cpp:202-205): releases;
+    * the wheel rotates psi and resets accumulation even while
+      UNCAPTURED — the reference's MouseWheelScrolled case has no
+      mouseHidden check (controls.cpp:186-191) — but still renders
+      nothing until capture.
+    """
+
+    def __init__(self):
+        self.captured = False
+        self.fps_suppress = False  # mouseJustHidden (main.cpp:98-99)
+
+    def capture(self):
+        if not self.captured:
+            self.fps_suppress = True  # (controls.cpp:195)
+        self.captured = True
+
+    def release(self):
+        self.captured = False
+
+    def frame_rendered(self):
+        """The first rendered frame after capture consumes the FPS
+        suppression (main.cpp:98-99: mouseJustHidden = false)."""
+        self.fps_suppress = False
+
+
 def interactive_loop(
     engine: RenderEngine, out_dir: Path, upscale: dict | None = None,
     min_frame_seconds: float = 0.0,
 ) -> None:
     meter = Meter()
+    cap = CaptureState()
+
     def frames(n):
         run_frames(engine, meter, n, min_frame_seconds=min_frame_seconds)
+        if n > 0:
+            cap.frame_rendered()
+
+    def gated(what: str) -> bool:
+        """True when rendering may proceed; the reference renders/moves
+        only while the cursor is captured (main.cpp:85)."""
+        if not cap.captured:
+            log0(f"{what} ignored: cursor not captured (use 'capture')")
+            return False
+        return True
 
     log0(
-        "interactive; commands: w/s/a/d/space/c/e/q, mouse, wheel, look, "
-        "frames, save, stats, quit"
+        "interactive; commands: capture, escape, w/s/a/d/space/c/e/q, "
+        "mouse, wheel, look, frames, save, stats, quit"
     )
     for line in sys.stdin:
         parts = line.strip().split()
@@ -227,11 +276,22 @@ def interactive_loop(
         cmd, *args = parts
         if cmd == "quit":
             break
+        elif cmd == "capture":
+            cap.capture()
+            log0("cursor captured (hidden)")
+        elif cmd == "escape":
+            cap.release()
+            log0("cursor released")
         elif cmd in KEYMAP:
+            if not gated("move"):
+                continue
             seconds = float(args[0]) if args else 0.25
             engine.move(KEYMAP[cmd], seconds)
             frames(1)
         elif cmd == "mouse":
+            # MouseMoved is processed only while captured (controls.cpp:173).
+            if not gated("mouse"):
+                continue
             dx = int(args[0]) if len(args) > 0 else 0
             dy = int(args[1]) if len(args) > 1 else 0
             if engine.mouse_moved(dx, dy):
@@ -239,19 +299,32 @@ def interactive_loop(
             else:
                 log0("cursor recentered")
         elif cmd == "wheel":
+            # psi rotates + accumulation resets even UNCAPTURED
+            # (controls.cpp:186-191 has no mouseHidden check) …
             engine.wheel_scrolled(float(args[0]) if args else 1.0)
-            frames(1)
+            # … but nothing renders until capture (main.cpp:85).
+            if cap.captured:
+                frames(1)
         elif cmd == "look":
+            if not gated("look"):
+                continue
             d_fi = float(args[0]) if len(args) > 0 else 0.0
             d_te = float(args[1]) if len(args) > 1 else 0.0
             d_psi = float(args[2]) if len(args) > 2 else 0.0
             engine.rotate(d_fi=d_fi, d_te=d_te, d_psi=d_psi)
             frames(1)
         elif cmd == "frames":
+            if not gated("frames"):
+                continue
             frames(int(args[0]) if args else 1)
         elif cmd == "save":
             target = Path(args[0]) if args else out_dir
-            for p in save_windows(engine, target, upscale=upscale):
+            # FPS overlay follows the reference's drawFPS gating: only
+            # while captured, and not on the first frame after capture.
+            fps = None
+            if cap.captured and not cap.fps_suppress and meter.stats.seconds > 0:
+                fps = meter.stats.frames / meter.stats.seconds
+            for p in save_windows(engine, target, upscale=upscale, fps=fps):
                 log0(f"wrote {p}")
         elif cmd == "stats":
             log0(meter.stats.as_json())

@@ -40,10 +40,12 @@ Estimator decisions (documented per SURVEY §7 "hard parts"):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from fourd_ray_tracing_tpu.camera import Camera
@@ -55,6 +57,9 @@ from fourd_ray_tracing_tpu.models.renderer import (
     _expand_cam_vec,
 )
 from fourd_ray_tracing_tpu.models.scene import Scene
+from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+    render_loss_and_grad_pallas,
+)
 from fourd_ray_tracing_tpu.ops.vec4 import Vec4, dot
 from fourd_ray_tracing_tpu.parallel.mesh import sharded_render_image
 
@@ -121,6 +126,180 @@ def drop_sphere(scene: Scene, sphere_index: int) -> Scene:
     return scene._replace(spheres=spheres)
 
 
+# --- Generalized per-primitive silhouette coverage ---------------------------
+#
+# VERDICT r2 #5: soft-silhouette gradients must reach EVERY primitive
+# family, not just spheres. Each coverage function below is a
+# differentiable per-pixel alpha approximating "does the primary ray hit
+# object X": sigmoid-relaxed versions of the same hit tests the hard
+# renderer runs (shader.frag:189-400), so alpha saturates to the hard
+# coverage away from the silhouette band and carries position/size
+# gradients inside it. `object_coverage` / `drop_object` dispatch on an
+# object reference (kind, index); `soft_image_loss` accepts either the
+# legacy sphere_index or any object_ref.
+
+
+def _primary_rays(camera: Camera, cfg: RenderConfig):
+    scr_x, scr_y = screen_coords(cfg)
+    d = primary_directions(camera, scr_x, scr_y)
+    o = _expand_cam_vec(camera.focus, d.x.ndim)
+    o = Vec4(*(jnp.broadcast_to(c, d.x.shape) for c in o))
+    return o, d
+
+
+def _sphere_coverage(center, r, o, d, inv_w):
+    po = center - o
+    b = dot(po, d)
+    l2 = dot(po, po)
+    perp2 = jnp.maximum(l2 - b * b, 0.0)
+    perp = jnp.sqrt(perp2 + 1e-20)
+    alpha = jax.nn.sigmoid((r - perp) * inv_w)
+    approaching = jax.nn.sigmoid((b + r) * inv_w)
+    inside = l2 < r * r
+    return jnp.where(inside, jnp.ones_like(alpha), alpha * approaching)
+
+
+def _cylinder_coverage(spec, o, d, inv_w):
+    """Circle coverage in the plane orthogonal to both axes
+    (shader.frag:243-267 relaxed): perpendicular distance of the
+    projected ray line to the circle center."""
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+
+    fam = geo._cyl_family(spec.point, spec.axis1, spec.axis2, o, d)
+    perp = jnp.sqrt(jnp.maximum(fam.perp2, 0.0) + 1e-20)
+    alpha = jax.nn.sigmoid((spec.r - perp) * inv_w)
+    approaching = jax.nn.sigmoid((fam.b + spec.r) * inv_w)
+    inside = fam.l2 < spec.r * spec.r
+    return jnp.where(inside, jnp.ones_like(alpha), alpha * approaching)
+
+
+def _duocylinder_coverage(cyl1, cyl2, o, d, inv_w):
+    """Each face's circle coverage gated by a soft clip against the
+    other cylinder (shader.frag:279-294 relaxed; squared-space widths
+    scaled by 2r so the band is ~edge_width in distance units)."""
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+
+    fam1 = geo._cyl_family(cyl1.point, cyl1.axis1, cyl1.axis2, o, d)
+    fam2 = geo._cyl_family(cyl2.point, cyl2.axis1, cyl2.axis2, o, d)
+
+    def face(fam, other, r, clip_r):
+        perp = jnp.sqrt(jnp.maximum(fam.perp2, 0.0) + 1e-20)
+        circ = jax.nn.sigmoid((r - perp) * inv_w)
+        circ = jnp.where(fam.l2 < r * r, jnp.ones_like(circ), circ)
+        dist, _hit, _ = geo._family_circle_dist(fam, r, True)
+        clip_sq = geo._family_clip_sq(other, dist)
+        inv_w_sq = inv_w / (2.0 * clip_r + 1e-20)
+        return circ * jax.nn.sigmoid((clip_r * clip_r - clip_sq) * inv_w_sq)
+
+    a1 = face(fam1, fam2, cyl1.r, cyl2.r)
+    a2 = face(fam2, fam1, cyl2.r, cyl2.r)  # cyl2.r clip quirk (C6i)
+    return a1 + a2 - a1 * a2
+
+
+def _hypercube_coverage(hc, o, d, inv_w):
+    """Soft union of the 8 cells: each cell's hyperplane facing and the
+    three extent tests relaxed to sigmoids (shader.frag:344-400)."""
+    c, axes, r = hc.point, hc.axes, hc.r
+    co = [dot(c - o, a) for a in axes]
+    dd = [dot(d, a) for a in axes]
+    alpha = None
+    for sign in (1.0, -1.0):
+        for i in range(4):
+            h = -(co[i] + r) if sign > 0 else co[i] - r
+            cos_dn = -dd[i] if sign > 0 else dd[i]
+            denom = jnp.where(jnp.abs(cos_dn) < 1e-6, 1e-6, cos_dn)
+            dist = jnp.maximum(h, 0.0) / jnp.abs(denom)
+            a_cell = jax.nn.sigmoid(h * inv_w) * jnp.where(
+                cos_dn > 0.0, 1.0, 0.0
+            )
+            for j in range(4):
+                if j == i:
+                    continue
+                e = dist * dd[j] - co[j]
+                a_cell = a_cell * jax.nn.sigmoid((r - jnp.abs(e)) * inv_w)
+            alpha = a_cell if alpha is None else alpha + a_cell - alpha * a_cell
+    return alpha
+
+
+def _tiger_coverage(tg, o, d, inv_w):
+    """Outer faces of both cylinder families, soft-clipped to the other
+    family's annulus (shader.frag:297-341 relaxed)."""
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+
+    fam_a = geo._cyl_family(
+        tg.outer_cyl1.point, tg.outer_cyl1.axis1, tg.outer_cyl1.axis2, o, d
+    )
+    fam_b = geo._cyl_family(
+        tg.outer_cyl2.point, tg.outer_cyl2.axis1, tg.outer_cyl2.axis2, o, d
+    )
+
+    def face(fam, other, r_out, o_in, o_out):
+        perp = jnp.sqrt(jnp.maximum(fam.perp2, 0.0) + 1e-20)
+        circ = jax.nn.sigmoid((r_out - perp) * inv_w)
+        circ = jnp.where(fam.l2 < r_out * r_out, jnp.ones_like(circ), circ)
+        dist, _hit, _ = geo._family_circle_dist(fam, r_out, True)
+        clip_sq = geo._family_clip_sq(other, dist)
+        inv_w_sq = inv_w / (2.0 * o_out + 1e-20)
+        soft = jax.nn.sigmoid((o_out * o_out - clip_sq) * inv_w_sq)
+        soft = soft * jax.nn.sigmoid((clip_sq - o_in * o_in) * inv_w_sq)
+        return circ * soft
+
+    a1 = face(fam_a, fam_b, tg.outer_cyl1.r, tg.inner_cyl2.r, tg.outer_cyl2.r)
+    a2 = face(fam_b, fam_a, tg.outer_cyl2.r, tg.inner_cyl1.r, tg.outer_cyl1.r)
+    return a1 + a2 - a1 * a2
+
+
+def _plane_coverage(sp, o, d, inv_w):
+    """Double-sided hyperplane: hit iff the ray heads toward the plane
+    (shader.frag:225-239); the product s*cos relaxes it, carrying point
+    gradients near the horizon band."""
+    s = dot(sp.point - o, sp.norm)
+    cos_n = dot(d, sp.norm)
+    return jax.nn.sigmoid(s * cos_n * inv_w * 4.0)
+
+
+def object_coverage(
+    scene: Scene, object_ref, camera: Camera, cfg: RenderConfig,
+    edge_width: float,
+) -> jnp.ndarray:
+    """Differentiable primary-ray coverage of one scene object.
+
+    ``object_ref``: ("spheres", i) | ("spaces", i) | ("cylinders", i) |
+    ("cylinders_union", None) | ("hypercube", None) | ("tiger", None).
+    Shape (H, W) (or (V, H, W)), values in (0, 1)."""
+    kind, idx = object_ref
+    o, d = _primary_rays(camera, cfg)
+    inv_w = 1.0 / jnp.asarray(edge_width, jnp.float32)
+    if kind == "spheres":
+        sp = scene.spheres[idx]
+        return _sphere_coverage(sp.center, sp.r, o, d, inv_w)
+    if kind == "spaces":
+        return _plane_coverage(scene.spaces[idx], o, d, inv_w)
+    if kind == "cylinders":
+        return _cylinder_coverage(scene.cylinders[idx], o, d, inv_w)
+    if kind == "cylinders_union":
+        c1, c2 = scene.cylinders_union
+        return _duocylinder_coverage(c1, c2, o, d, inv_w)
+    if kind == "hypercube":
+        return _hypercube_coverage(scene.hypercube, o, d, inv_w)
+    if kind == "tiger":
+        return _tiger_coverage(scene.tiger, o, d, inv_w)
+    raise ValueError(f"unknown object kind: {kind!r}")
+
+
+def drop_object(scene: Scene, object_ref) -> Scene:
+    """The scene without the referenced object (static restructure)."""
+    kind, idx = object_ref
+    if kind in ("spheres", "spaces", "cylinders"):
+        items = getattr(scene, kind)
+        return scene._replace(
+            **{kind: tuple(x for k, x in enumerate(items) if k != idx)}
+        )
+    if kind in ("cylinders_union", "hypercube", "tiger"):
+        return scene._replace(**{kind: None})
+    raise ValueError(f"unknown object kind: {kind!r}")
+
+
 def soft_image_loss(
     scene: Scene,
     camera: Camera,
@@ -130,26 +309,72 @@ def soft_image_loss(
     sphere_index: int = 0,
     edge_width: float = 0.05,
     mesh=None,
+    object_ref=None,
 ) -> jnp.ndarray:
-    """MSE with soft-silhouette gradients for one designated sphere.
+    """MSE with soft-silhouette gradients for one designated object.
 
-    Renders (scene) and (scene minus sphere_index) at the same seed and
-    blends them with `primary_coverage`; the gradient w.r.t. the sphere's
-    center/radius then carries the boundary term the plain estimator
+    Renders (scene) and (scene minus the object) at the same seed and
+    blends them with `object_coverage`; the gradient w.r.t. the object's
+    position/size then carries the boundary term the plain estimator
     drops. ~2x forward cost; training-only (the forward image differs
     from the hard render only inside the edge band).
+
+    ``object_ref`` selects ANY primitive — ("spheres", i), ("spaces", i),
+    ("cylinders", i), ("cylinders_union", None), ("hypercube", None),
+    ("tiger", None); default ("spheres", sphere_index) preserves the
+    original sphere-only API.
     """
-    sp = scene.spheres[sphere_index]
-    without = drop_sphere(scene, sphere_index)
+    if object_ref is None:
+        object_ref = ("spheres", sphere_index)
+    without = drop_object(scene, object_ref)
     if mesh is None:
         img_with = render_image(scene, camera, cfg, seed)
         img_without = render_image(without, camera, cfg, seed)
     else:
         img_with = sharded_render_image(scene, camera, cfg, seed, mesh)
         img_without = sharded_render_image(without, camera, cfg, seed, mesh)
-    alpha = primary_coverage(sp.center, sp.r, camera, cfg, edge_width)[..., None]
+    alpha = object_coverage(scene, object_ref, camera, cfg, edge_width)[..., None]
     img = alpha * img_with + (1.0 - alpha) * img_without
     return jnp.mean((img - target) ** 2)
+
+
+# --- Pallas-accelerated training path ---------------------------------------
+#
+# The value-and-grad megakernel (ops/pallas/gradkernel.py) computes loss
+# AND all scene/camera parameter gradients in one VMEM-resident pass.
+# `pallas_image_loss` wraps it in jax.custom_vjp so jax.value_and_grad /
+# optax pipelines use it transparently: the forward runs the kernel once
+# (gradients become residuals), the backward just scales them by the
+# incoming cotangent — one kernel launch per train step.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_image_loss(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target
+) -> jnp.ndarray:
+    """MSE between the rendered image and target — Pallas forward AND
+    backward (identical estimator to `image_loss` at the same seed)."""
+    loss, _ = render_loss_and_grad_pallas(scene, camera, cfg, seed, target)
+    return loss
+
+
+def _pallas_image_loss_fwd(scene, camera, cfg, seed, target):
+    loss, grads = render_loss_and_grad_pallas(scene, camera, cfg, seed, target)
+    return loss, (grads, seed, target)
+
+
+def _pallas_image_loss_bwd(cfg, res, ct):
+    (g_scene, g_cam), seed, target = res
+    scale = lambda g: g * ct
+    zero_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return (
+        jax.tree_util.tree_map(scale, g_scene),
+        jax.tree_util.tree_map(scale, g_cam),
+        zero_seed,
+        jnp.zeros_like(target),
+    )
+
+
+pallas_image_loss.defvjp(_pallas_image_loss_fwd, _pallas_image_loss_bwd)
 
 
 def make_train_step(
@@ -160,6 +385,8 @@ def make_train_step(
     param_filter: Optional[Callable] = None,
     soft_sphere_index: Optional[int] = None,
     edge_width: float = 0.05,
+    impl: str = "xla",
+    soft_object_ref=None,
 ):
     """Jitted inverse-rendering step: optimize scene params toward target
     images (SURVEY §7 step 5; BASELINE.json config 5).
@@ -167,20 +394,35 @@ def make_train_step(
     ``param_filter(grads)`` may zero out gradients of parameters that
     should stay frozen (e.g. wall positions while fitting a sphere).
     ``soft_sphere_index`` switches the loss to `soft_image_loss` for that
-    sphere, enabling silhouette (position/radius) gradients.
+    sphere, enabling silhouette (position/radius) gradients;
+    ``soft_object_ref`` does the same for ANY primitive (see
+    `object_coverage`).
     When a mesh is given, rays/samples shard across it and the scene
     gradient arrives via the AD transpose of the replicated inputs — an
     all-reduce over ICI fused into the backward pass.
+    ``impl="pallas"`` trains through the value-and-grad megakernel
+    (`pallas_image_loss`): one kernel launch computes loss + all
+    gradients. Hard loss, single device (mesh/soft stay on the jnp
+    pipeline).
 
     Returns a step whose metrics dict carries loss and the global
     gradient norm (SURVEY §5 metrics/logging).
     """
+    soft = soft_object_ref is not None or soft_sphere_index is not None
+    if impl == "pallas" and (soft or mesh is not None):
+        raise ValueError(
+            "impl='pallas' supports the hard single-device loss; use the "
+            "jnp pipeline for soft-silhouette or mesh-sharded training"
+        )
 
     def loss_fn(scene, seed, target):
-        if soft_sphere_index is None:
+        if impl == "pallas":
+            return pallas_image_loss(scene, camera, cfg, seed, target)
+        if not soft:
             return image_loss(scene, camera, cfg, seed, target, mesh)
         return soft_image_loss(
-            scene, camera, cfg, seed, target, soft_sphere_index, edge_width, mesh
+            scene, camera, cfg, seed, target, soft_sphere_index or 0,
+            edge_width, mesh, object_ref=soft_object_ref,
         )
 
     @jax.jit

@@ -167,7 +167,7 @@ def intersect_scene_fast(
     zero = jnp.zeros_like(d.x)
 
     dists = []      # masked distance per candidate, _FAR on miss
-    resolvers = []  # winner-only (mask, hit_p, norm, glow, refl, color) -> updated
+    resolvers = []  # winner-only (mask, dist, hit_p, norm, glow, refl, color) -> updated
 
     def mat_resolve(mask, mat, glow, refl, color):
         return (
@@ -221,7 +221,7 @@ def intersect_scene_fast(
         dist = dot_vn / jnp.where(hit, dn, 1.0)
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, hit_p, norm, glow, refl, color,
+        def resolve(mask, dist, hit_p, norm, glow, refl, color,
                     n=n, sgn=sgn, hint=hint, mat=sp.material):
             flip = -sgn
             comps = [
@@ -260,7 +260,7 @@ def intersect_scene_fast(
         dist = dot_vn / jnp.where(hit, d_k, 1.0)
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, hit_p, norm, glow, refl, color,
+        def resolve(mask, dist, hit_p, norm, glow, refl, color,
                     sgn=sgn, take_a=take_a, axis=axis,
                     mat_a=sp_a.material, mat_b=sp_b.material):
             comps = [zero, zero, zero, zero]
@@ -313,7 +313,7 @@ def intersect_scene_fast(
         hit = jnp.logical_not(jnp.logical_or(receding, tangent))
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, hit_p, norm, glow, refl, color,
+        def resolve(mask, dist, hit_p, norm, glow, refl, color,
                     c=c, r=r, use_near=use_near, mat=s.material):
             inv_r = 1.0 / r  # scalar
             scale = jnp.where(use_near, -inv_r, inv_r)
@@ -330,7 +330,7 @@ def intersect_scene_fast(
     def composite(rec: geo.Intersection):
         dists.append(jnp.where(rec.hit, rec.dist, _FAR))
 
-        def resolve(mask, hit_p, norm, glow, refl, color, rec=rec):
+        def resolve(mask, dist, hit_p, norm, glow, refl, color, rec=rec):
             return (
                 rec.norm.where(mask, norm),
                 jnp.where(mask, rec.glow, glow),
@@ -340,19 +340,117 @@ def intersect_scene_fast(
 
         resolvers.append(resolve)
 
+    # Cylinder-family primitives fold their faces DIRECTLY into the
+    # global dist-fold (one masked distance each) and defer the family
+    # normal/material to the single winner resolve — no intermediate
+    # Intersection record, no double winner-resolution (VERDICT r2 #2).
+    def add_family_face(fam, dist_c, hit_c, flip, r, mat):
+        dists.append(jnp.where(hit_c, dist_c, _FAR))
+
+        def resolve(mask, dist, hit_p, norm, glow, refl, color,
+                    fam=fam, r=r, flip=flip, m=mat):
+            nrm = geo._family_norm(fam, dist, r, flip)
+            return (nrm.where(mask, norm), *mat_resolve(mask, m, glow, refl, color))
+
+        resolvers.append(resolve)
+
     for cyl in scene.cylinders:
-        composite(
-            geo.cylinder_intersection(
-                cyl.point, cyl.axis1, cyl.axis2, cyl.r, cyl.material, o, d, True
-            )
-        )
+        fam = geo._cyl_family(cyl.point, cyl.axis1, cyl.axis2, o, d)
+        dist_c, hit_c, use_near = geo._family_circle_dist(fam, cyl.r, True)
+        add_family_face(fam, dist_c, hit_c, use_near, cyl.r, cyl.material)
+
     if scene.cylinders_union is not None:
+        # Duocylinder: two faces, each clipped against the OTHER family's
+        # radius — verbatim cyl2.r on both arms (shader.frag:290, C6i).
         c1, c2 = scene.cylinders_union
-        composite(geo.cylinders_union_intersection_fast(c1, c2, o, d))
+        fam1 = geo._cyl_family(c1.point, c1.axis1, c1.axis2, o, d)
+        fam2 = geo._cyl_family(c2.point, c2.axis1, c2.axis2, o, d)
+        r2sq = c2.r * c2.r
+        for fam, other, r, mat in (
+            (fam1, fam2, c1.r, c1.material),
+            (fam2, fam1, c2.r, c2.material),
+        ):
+            dist_c, hit_c, use_near = geo._family_circle_dist(fam, r, True)
+            hit_c = jnp.logical_and(
+                hit_c, geo._family_clip_sq(other, dist_c) <= r2sq
+            )
+            add_family_face(fam, dist_c, hit_c, use_near, r, mat)
+
     if scene.hypercube is not None:
-        composite(geo.hypercube_intersection_fast(scene.hypercube, o, d))
+        hc = scene.hypercube
+        if hc.point is None or hc.axes is None:
+            composite(geo.hypercube_intersection(hc, o, d))
+        else:
+            # Shared-dot cells (geo.hypercube_intersection_fast) as 8
+            # direct fold candidates. The hypercube boundary is convex
+            # and cells only register ENTRY hits (facing test), so at
+            # most one cell hits per ray and the reference's
+            # first-hit-in-order semantics (shader.frag:394-400)
+            # coincide with the closest fold; shared-edge ties keep the
+            # earlier cell, like the reference's early-exit loop.
+            c, axes, r = hc.point, hc.axes, hc.r
+            co = [dot(c - o, a) for a in axes]
+            dd = [dot(d, a) for a in axes]
+            for sign in (1.0, -1.0):
+                for i in range(4):
+                    h = -(co[i] + r) if sign > 0 else co[i] - r
+                    cos_dn = -dd[i] if sign > 0 else dd[i]
+                    facing = jnp.logical_and(h >= 0.0, cos_dn >= 0.0)
+                    dist_c = h / jnp.where(cos_dn == 0.0, 1e-30, cos_dn)
+                    inside = facing
+                    for j in range(4):
+                        if j == i:
+                            continue
+                        e = dist_c * dd[j] - co[j]
+                        inside = jnp.logical_and(inside, jnp.abs(e) <= r)
+                    mat = hc.cubes[(0 if sign > 0 else 4) + i].material
+                    dists.append(jnp.where(inside, dist_c, _FAR))
+
+                    def resolve(mask, dist, hit_p, norm, glow, refl, color,
+                                a=axes[i], sign=sign, mat=mat):
+                        nrm = Vec4(
+                            sign * a.x + zero, sign * a.y + zero,
+                            sign * a.z + zero, sign * a.w + zero,
+                        )
+                        return (nrm.where(mask, norm),
+                                *mat_resolve(mask, mat, glow, refl, color))
+
+                    resolvers.append(resolve)
+
     if scene.tiger is not None:
-        composite(geo.tiger_intersection_fast(scene.tiger, o, d))
+        # 8 tiger faces as direct fold candidates with the two family
+        # projections AND the per-radius circle tests shared: one
+        # disc/sqrt per (family, radius) covers both its outer∈{T,F}
+        # faces (geo._family_circle), in the reference's face order
+        # (shader.frag:328-335).
+        tg = scene.tiger
+        fam_a = geo._cyl_family(
+            tg.inner_cyl1.point, tg.inner_cyl1.axis1, tg.inner_cyl1.axis2, o, d
+        )
+        fam_b = geo._cyl_family(
+            tg.inner_cyl2.point, tg.inner_cyl2.axis1, tg.inner_cyl2.axis2, o, d
+        )
+        for fam, other, r_in, r_out, o_in, o_out, mat in (
+            (fam_a, fam_b, tg.inner_cyl1.r, tg.outer_cyl1.r,
+             tg.inner_cyl2.r, tg.outer_cyl2.r, tg.inner_cyl1.material),
+            (fam_b, fam_a, tg.inner_cyl2.r, tg.outer_cyl2.r,
+             tg.inner_cyl1.r, tg.outer_cyl1.r, tg.inner_cyl2.material),
+        ):
+            o_in2, o_out2 = o_in * o_in, o_out * o_out
+            for r in (r_in, r_out):
+                near, far, hit_c, use_near_outer = geo._family_circle(fam, r)
+                for outer in (True, False):
+                    if outer:
+                        dist_c = jnp.where(use_near_outer, near, far)
+                        flip = use_near_outer
+                    else:
+                        dist_c = far
+                        flip = None  # never flipped: use_near is all-false
+                    clip_sq = geo._family_clip_sq(other, dist_c)
+                    keep = jnp.logical_and(clip_sq <= o_out2, clip_sq >= o_in2)
+                    add_family_face(
+                        fam, dist_c, jnp.logical_and(hit_c, keep), flip, r, mat
+                    )
 
     if not dists:
         return geo.miss_like(d.x)
@@ -375,7 +473,7 @@ def intersect_scene_fast(
     color = Vec3(zero, zero, zero)
     for k, resolve in enumerate(resolvers):
         mask = jnp.logical_and(hit, idx == k)
-        norm, glow, refl, color = resolve(mask, hit_p, norm, glow, refl, color)
+        norm, glow, refl, color = resolve(mask, dist, hit_p, norm, glow, refl, color)
     return geo.Intersection(hit, dist, norm, glow, refl, color)
 
 

@@ -417,7 +417,13 @@ _SMALL2 = np.float32(float(SMALL_FLOAT) * float(SMALL_FLOAT))
 
 
 class _CylFamily(NamedTuple):
-    """Per-(point, axis1, axis2) projected-ray quantities."""
+    """Per-(point, axis1, axis2) projected-ray quantities.
+
+    Everything radius-independent is computed ONCE here — including the
+    unit-direction ``b``, the degenerate-origin mask and the squared
+    perpendicular miss distance ``perp2`` that all of a family's circle
+    tests share (the tiger runs 4 radius tests per family; only
+    ``r^2`` differs between them, VERDICT r2 item 2)."""
 
     po: Vec4           # center - projected origin (in the 2-plane)
     d12: Vec4          # projected (non-unit) direction
@@ -427,6 +433,10 @@ class _CylFamily(NamedTuple):
     len12_sq: jnp.ndarray  # |d12|^2
     inv_len: jnp.ndarray   # 1/|d12| (guarded)
     proj_ok: jnp.ndarray   # both projection lengths >= SMALL_FLOAT
+    b: jnp.ndarray         # unit-direction b (0 where degenerate)
+    degenerate: jnp.ndarray  # |po|^2 < SMALL^2 (origin on the axis plane)
+    perp2: jnp.ndarray     # l2 - b^2: squared perp distance of the circle
+                           # center to the projected ray line
 
 
 def _cyl_family(point: Vec4, axis1: Vec4, axis2: Vec4, ray_o: Vec4, ray_d: Vec4):
@@ -442,33 +452,51 @@ def _cyl_family(point: Vec4, axis1: Vec4, axis2: Vec4, ray_o: Vec4, ray_d: Vec4)
     len12_sq = dot(d12, d12)
     proj_ok = jnp.logical_and(len1_sq >= _SMALL2, len12_sq >= _SMALL2)
     inv_len = jax.lax.rsqrt(jnp.where(proj_ok, len12_sq, 1.0))
+    l2 = dot(po, po) + 1e-37
+    b_raw = dot(po, d12)
+    degenerate = l2 < _SMALL2
+    b = jnp.where(degenerate, 0.0, b_raw * inv_len)
     return _CylFamily(
-        po, d12, dot(po, po) + 1e-37, dot(po, d12),
+        po, d12, l2, b_raw,
         len1_sq, len12_sq, inv_len, proj_ok,
+        b, degenerate, l2 - b * b,
     )
+
+
+def _family_circle(fam: _CylFamily, r):
+    """The radius-dependent remainder of a family's circle test, shared
+    by the (r, outer=True) and (r, outer=False) faces: ONE
+    disc/sqrt/receding evaluation per radius instead of per face.
+
+    Returns (near, far, hit, use_near_outer): the two unscaled circle
+    roots as ray parameters, the circle-hit mask, and the outer-face
+    near-root select (l2 > r2). Identical values to _family_circle_dist
+    (same op association: disc = r2 - (l2 - b*b) via fam.perp2)."""
+    r2 = r * r
+    receding = jnp.logical_and(
+        jnp.logical_not(fam.degenerate),
+        jnp.logical_and(fam.l2 >= r2, fam.b < 0.0),
+    )
+    disc = r2 - fam.perp2
+    tangent = disc <= 0.0
+    sq = jnp.sqrt(jnp.where(tangent, 1.0, disc))
+    sq = jnp.where(tangent, 0.0, sq)
+    near = (fam.b - sq) * fam.inv_len
+    far = (fam.b + sq) * fam.inv_len
+    hit = jnp.logical_and(
+        fam.proj_ok, jnp.logical_not(jnp.logical_or(receding, tangent))
+    )
+    return near, far, hit, fam.l2 > r2
 
 
 def _family_circle_dist(fam: _CylFamily, r, outer: bool):
     """(dist, hit, use_near) of the family's circle test at radius r —
     sphere_intersection's quadratic on the projected ray, with the
-    1/|d12| unscaling folded in (shader.frag:260-266)."""
-    r2 = r * r
-    degenerate = fam.l2 < _SMALL2
-    b = jnp.where(degenerate, 0.0, fam.b_raw * fam.inv_len)  # unit-dir b
-    receding = jnp.logical_and(
-        jnp.logical_not(degenerate), jnp.logical_and(fam.l2 >= r2, b < 0.0)
-    )
-    disc = r2 - (fam.l2 - b * b)
-    tangent = disc <= 0.0
-    sq = jnp.sqrt(jnp.where(tangent, 1.0, disc))
-    sq = jnp.where(tangent, 0.0, sq)
-    use_near = (fam.l2 > r2) if outer else (fam.l2 < -jnp.inf)
-    dist = jnp.where(use_near, b - sq, b + sq) * fam.inv_len
-    hit = jnp.logical_and(
-        fam.proj_ok,
-        jnp.logical_not(jnp.logical_or(receding, tangent)),
-    )
-    return dist, hit, use_near
+    1/|d12| unscaling folded in (shader.frag:260-266). Thin select over
+    _family_circle's shared roots."""
+    near, far, hit, use_near_outer = _family_circle(fam, r)
+    use_near = use_near_outer if outer else (fam.l2 < -jnp.inf)
+    return jnp.where(use_near, near, far), hit, use_near
 
 
 def _family_clip_sq(fam: _CylFamily, t: jnp.ndarray) -> jnp.ndarray:
@@ -481,9 +509,10 @@ def _family_clip_sq(fam: _CylFamily, t: jnp.ndarray) -> jnp.ndarray:
 def _family_norm(fam: _CylFamily, dist, r, flip) -> Vec4:
     """Cylinder surface normal at parameter dist: (po - d12*dist)/r,
     negated where ``flip`` (the outer-hit-from-outside flip,
-    shader.frag:218-219 via :260)."""
+    shader.frag:218-219 via :260). ``flip=None`` = statically no flip
+    (outer=False faces, where use_near is all-false)."""
     inv_r = 1.0 / r
-    scale = jnp.where(flip, -inv_r, inv_r)
+    scale = inv_r if flip is None else jnp.where(flip, -inv_r, inv_r)
     return Vec4(
         (fam.po.x - fam.d12.x * dist) * scale,
         (fam.po.y - fam.d12.y * dist) * scale,

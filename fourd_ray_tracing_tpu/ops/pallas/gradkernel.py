@@ -1,0 +1,250 @@
+"""Pallas value-and-grad megakernel: loss AND scene/camera gradients in
+one VMEM-resident pass per tile.
+
+The reference has no gradient path; the north star adds one
+(BASELINE.md:17 "pixel+grad"). Round 2 ran gradients through the XLA jnp
+pipeline at ~7% of the Pallas forward throughput; this kernel closes
+that gap by differentiating INSIDE the megakernel: the loss for a pixel
+tile is a function of the ~P packed scene/camera scalars (SMEM), so each
+tile program
+
+1. runs the forward sample loop (the same `_trace_rays_kernel` /
+   `precompute_bounce0` math as the production megakernel, fori over
+   samples),
+2. derives the per-pixel loss cotangent through the tone map + MSE
+   (`jax.vjp` of the tile loss, shader.frag:509-511 + the target
+   image), masked to valid lanes so padded tail lanes contribute
+   nothing, and
+3. re-loops the samples applying `jax.vjp` of one sample's trace
+   (bounce loop unrolled — reverse-mode needs the unrolled form) with
+   that cotangent, accumulating the P scalar parameter cotangents in
+   registers. The per-lane partials reduce to scalars inside the tile
+   (the transpose of the scene-parameter broadcasts), so the only
+   gradient traffic leaving the kernel is (tiles, P) floats, summed on
+   the host side of the launch.
+
+This is reverse-mode AD *of the estimator at fixed RNG* (diff.py's
+documented semantics) — the uniforms are integer counter streams with
+zero tangents, discrete hit/mirror decisions stay frozen, exactly like
+the jnp pipeline. tests/test_gradkernel.py checks loss and every
+parameter gradient against jax.value_and_grad of diff.image_loss.
+
+Cost: forward + (forward + transpose) per sample ~= 3-4x the forward
+kernel, all VPU/VMEM-resident — vs the jnp pipeline's HBM-bound
+scan-over-samples backward.
+
+No plane hints here: hinted-zero normal components would get zero
+gradients (models/scene.py:plane_norm_hints contract), so the kernel
+always folds full 4-component dots.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fourd_ray_tracing_tpu.camera import Camera
+from fourd_ray_tracing_tpu.models.renderer import (
+    RenderConfig,
+    precompute_bounce0,
+    sample_stream_bits,
+)
+from fourd_ray_tracing_tpu.models.scene import Scene
+from fourd_ray_tracing_tpu.ops import rng
+from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
+    LANES,
+    _pack_pytree,
+    _tile_camera,
+    _tile_pixels,
+    _trace_rays_kernel,
+)
+from fourd_ray_tracing_tpu.ops.sky import light_to_color
+from fourd_ray_tracing_tpu.ops.vec4 import Vec3, normalize
+
+
+def _loss_grad_kernel(
+    params_ref, seed_ref, target_ref, loss_ref, grad_ref, *,
+    rebuild, n_params: int, cfg: RenderConfig,
+    n_views: int, height: int, width: int,
+):
+    seed = seed_ref[0].astype(jnp.uint32)
+    pid = pl.program_id(0)
+    scr_x, scr_y, view, valid = _tile_pixels(cfg, n_views, height, width, pid)
+    tile_zero = jnp.zeros(scr_x.shape, jnp.float32)
+    pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
+    counter0 = rng.init_counter(seed, pixel_bits.shape)
+    vals = tuple(params_ref[k] for k in range(n_params))
+    inv_s = np.float32(1.0 / cfg.samples)
+
+    def primary(vals):
+        """Differentiable scene + primary rays from the packed scalars
+        (ray_drct, shader.frag:501-505)."""
+        scene, camera = rebuild(vals)
+        top, right, vec_to_mtr, focus = _tile_camera(
+            camera, view, n_views, tile_zero
+        )
+        mx = (scr_x - 0.5) * camera.mtr_width
+        my = (0.5 - scr_y) * camera.mtr_height
+        d = normalize(vec_to_mtr + top * my + right * mx)
+        return scene, focus, d
+
+    def sample_light(scene, o, d, pre0, s):
+        bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
+        light, _ = _trace_rays_kernel(
+            scene, o, d, bits, seed, counter0, cfg, pre0=pre0, unroll=True
+        )
+        return light
+
+    # --- pass 1: forward sample loop -> per-pixel summed light --------
+    # NOTE on a rejected optimization: hoisting the sample-invariant
+    # envelope (primary rays + precompute_bounce0) into its OWN jax.vjp
+    # and carrying the accumulated (o, d, pre0) cotangents through the
+    # pass-2 fori loop was tried and measured at 21 Mray/s vs 364 Mray/s
+    # for this simple form (same loss bit-for-bit): the ~28 extra
+    # tile-array loop carries + the envelope's live residuals blow VMEM
+    # and Mosaic spills the loop state to HBM every sample. Recomputing
+    # the envelope inside each sample's vjp keeps everything in
+    # registers and wins by 17x.
+    scene_f, o_f, d_f = primary(vals)
+    pre0_f = precompute_bounce0(scene_f, o_f, d_f, cfg)
+
+    def fwd_body(s, acc):
+        light = sample_light(scene_f, o_f, d_f, pre0_f, s)
+        return acc + light
+
+    acc = jax.lax.fori_loop(
+        0, cfg.samples, fwd_body, Vec3.full(0.0, like=tile_zero)
+    )
+
+    # --- tile loss + cotangent of the summed light --------------------
+    # loss_tile = sum over VALID lanes of (tonemap(acc/S) - target)^2,
+    # channel-summed; the caller scales by 1/(pixels*3) for the MSE.
+    t = Vec3(target_ref[0, 0], target_ref[0, 1], target_ref[0, 2])
+    vmask = jnp.where(valid, 1.0, 0.0)
+
+    def tile_loss(acc_xyz):
+        light = Vec3(*acc_xyz) * inv_s
+        c = light_to_color(light, jnp.float32(cfg.light_coefficient))
+        return (
+            jnp.sum(vmask * (c.x - t.x) ** 2)
+            + jnp.sum(vmask * (c.y - t.y) ** 2)
+            + jnp.sum(vmask * (c.z - t.z) ** 2)
+        )
+
+    loss_val, tl_vjp = jax.vjp(tile_loss, (acc.x, acc.y, acc.z))
+    (cot_acc,) = tl_vjp(jnp.float32(1.0))  # (dL/dacc_x, dL/dacc_y, dL/dacc_z)
+    # Outputs live as FULL (tiles, ...) SMEM arrays (Mosaic's blocked
+    # specs require (8,128)-divisible tails); each program writes its row.
+    loss_ref[pid, 0] = loss_val
+
+    # --- pass 2: per-sample reverse sweep ------------------------------
+    # acc = sum_s light_s, so every sample's light carries the SAME
+    # cotangent cot_acc; each body traces one sample forward (envelope
+    # recomputed in-register — see the NOTE above — then unrolled
+    # bounces) and transposes it, accumulating P scalar cotangents.
+    def sample_fn(s):
+        def f(*vals):
+            scene, o, d = primary(vals)
+            pre0 = precompute_bounce0(scene, o, d, cfg)
+            light = sample_light(scene, o, d, pre0, s)
+            return light.x, light.y, light.z
+
+        return f
+
+    def grad_body(s, g):
+        _, vjp_fn = jax.vjp(sample_fn(s), *vals)
+        gs = vjp_fn(cot_acc)
+        return tuple(a + b for a, b in zip(g, gs))
+
+    zero_g = tuple(jnp.float32(0.0) for _ in range(n_params))
+    g = jax.lax.fori_loop(0, cfg.samples, grad_body, zero_g)
+    for k in range(n_params):
+        grad_ref[pid, k] = g[k]
+
+
+def render_loss_and_grad_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target,
+    interpret: bool | None = None,
+):
+    """(loss, (grad_scene, grad_camera)) of the MSE between the rendered
+    tone-mapped image and ``target``, entirely via the value-and-grad
+    megakernel. Semantically equal to
+    ``jax.value_and_grad(diff.image_loss)`` on the jnp pipeline (same
+    estimator, same RNG streams) up to float re-association; the
+    per-parameter gradients reduce per tile in-kernel and sum over tiles
+    here.
+    """
+    return _render_loss_and_grad_jit(scene, camera, cfg, seed, target, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _render_loss_and_grad_jit(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target,
+    interpret: bool | None = None,
+):
+    if cfg.rng_mode != "per_sample":
+        raise ValueError(
+            "the value-and-grad megakernel renders per-sample RNG streams"
+        )
+    if cfg.plane_hints is not None or cfg.plane_pairs is not None:
+        raise ValueError(
+            "plane hints zero out normal-component gradients; the "
+            "value-and-grad kernel must run without hints"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    n_params = int(packed.shape[0])
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+
+    sublanes = cfg.tile_sublanes
+    tile = sublanes * LANES
+    total = n_views * height * width
+    n_tiles = pl.cdiv(total, tile)
+
+    # Target image -> the kernel's tile layout (tiles, 3, sublanes, 128);
+    # padded tail lanes hold zeros (masked off in-kernel anyway).
+    t = jnp.asarray(target, jnp.float32).reshape(total, 3)
+    t = jnp.pad(t, ((0, n_tiles * tile - total), (0, 0)))
+    t_tiles = t.reshape(n_tiles, sublanes, LANES, 3).transpose(0, 3, 1, 2)
+
+    kernel = functools.partial(
+        _loss_grad_kernel, rebuild=rebuild, n_params=n_params, cfg=cfg,
+        n_views=n_views, height=height, width=width,
+    )
+    loss_parts, grad_parts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 3, sublanes, LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_params), jnp.float32),
+        ),
+        interpret=interpret,
+    )(packed, seed_arr, t_tiles)
+
+    scale = np.float32(1.0 / (total * 3))
+    loss = jnp.sum(loss_parts) * scale
+    g_packed = jnp.sum(grad_parts, axis=0) * scale
+    grads = rebuild(g_packed)
+    return loss, grads

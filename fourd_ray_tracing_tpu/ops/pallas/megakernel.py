@@ -26,14 +26,19 @@ Design:
   renderer consumes. (Scene shape changes recompile — the analogue of the
   reference's scene-swap shader recompile, SURVEY §3.5.)
 * Pixels are flattened over (view, y, x) and tiled 8x128 = 1024 per
-  program; the grid is (num_tiles,). Out-of-range lanes (image tail) are
-  clamped to pixel 0 and the caller slices them away.
+  program; the grid is (frames, num_tiles) — a (K,) seed vector renders
+  K whole frames per dispatch. Out-of-range lanes (image tail) are
+  clamped to the last pixel and the caller slices them away.
 * RNG streams are keyed by absolute pixel index and absolute sample
   index (rng_mode="per_sample"), so kernel tiling — like device sharding
-  — never changes the image (SURVEY §4.6).
+  — never changes the image (SURVEY §4.6). rng_mode="sequential" instead
+  carries the reference's exact per-pixel stream across the sample loop
+  (shader.frag:92) — bit-parity mode at production speed (samples of a
+  lane are sequential within a tile anyway).
 
-Differentiation: the megakernel is the forward/production path; gradient
-work (inverse rendering) runs through the identical-math jnp pipeline.
+Differentiation: this module is the forward/production path; training
+runs through the value-and-grad megakernel (gradkernel.py), with the
+identical-math jnp pipeline as the autodiff cross-check.
 """
 from __future__ import annotations
 
@@ -111,8 +116,12 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
     same body unrolled (``unroll=True`` — fastest steady state).
 
     Identical math/op-order to renderer.trace_rays, so the image is
-    bit-identical (this kernel is per-sample RNG only; sequential
-    streams live in the jnp renderer).
+    bit-identical. Both RNG modes are supported: per-sample streams skip
+    the dead final-iteration draws; sequential streams (cfg.rng_mode ==
+    "sequential", the reference's per-pixel counter carried across the
+    sample loop, shader.frag:92) pay them so the NEXT sample's stream
+    matches the reference — inside one tile the samples of a lane are
+    sequential anyway, so bit-parity mode runs at production speed.
 
     ``pre0``: hoisted sample-invariant bounce-0 state
     (renderer.precompute_bounce0) — only the per-sample direction update
@@ -168,12 +177,12 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
 
     def tail(state, inter=None):
         # Final bounce, shade-only: the direction update (Bernoulli +
-        # sampler draws) is dead on the last iteration, and per-sample
-        # RNG streams don't carry across samples, so skipping it leaves
-        # the image bit-identical while saving a full sampler+RNG+
-        # reflect/redirect evaluation per ray (~1/(bounces+1) of the
-        # trace work). Sequential streams DO carry (renderer.trace_rays
-        # handles that mode; this kernel is per-sample only).
+        # sampler draws) is dead on the last iteration. Per-sample RNG
+        # streams don't carry across samples, so skipping the draws
+        # leaves the image bit-identical while saving a full sampler+
+        # RNG+reflect/redirect evaluation per ray. Sequential streams DO
+        # carry (shader.frag:92): advance the counters exactly like the
+        # reference's dead draws (renderer.trace_rays does the same).
         o, d, result, throughput, alive_f, counter = state
         alive = alive_f > 0.5
         if inter is None:
@@ -187,13 +196,34 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
             result = result + (throughput * env).where(escaped, zero3)
         alive = jnp.logical_and(alive, inter.hit)
         result = result + (inter.color * inter.glow * throughput).where(alive, zero3)
+        if cfg.rng_mode == "sequential":
+            u_refl, counter = rng.masked_uniform01(
+                pixel_bits, seed, counter, alive
+            )
+            diffuse = jnp.logical_and(alive, u_refl > inter.refl_prob)
+            for _ in range(3):
+                _, counter = rng.masked_uniform01(
+                    pixel_bits, seed, counter, diffuse
+                )
         return result, counter
 
     ones = jnp.ones(pixel_bits.shape, jnp.float32)
     start = 0
     if pre0 is not None:
         if cfg.reflections_amount == 0:
-            # Shade-only final bounce, entirely precomputed per pixel.
+            # Shade-only final bounce, entirely precomputed per pixel —
+            # but a sequential stream still pays the reference's dead
+            # final-iteration draws (renderer.trace_rays pre0 branch).
+            if cfg.rng_mode == "sequential":
+                alive0 = pre0.alive_f > 0.5
+                u_refl, counter = rng.masked_uniform01(
+                    pixel_bits, seed, counter, alive0
+                )
+                diffuse0 = jnp.logical_and(alive0, u_refl > pre0.refl_prob)
+                for _ in range(3):
+                    _, counter = rng.masked_uniform01(
+                        pixel_bits, seed, counter, diffuse0
+                    )
             return pre0.result, counter
         # Bounce 0's per-sample direction update (everything else is in
         # pre0); one shared implementation with renderer.trace_rays.
@@ -214,32 +244,35 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
     return tail(state)
 
 
-def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
-            n_views: int, height: int, width: int):
-    scene, camera = rebuild(params_ref)
-    seed = seed_ref[0].astype(jnp.uint32)
-
+def _tile_pixels(cfg: RenderConfig, n_views: int, height: int, width: int, pid):
+    """Tile pixel coordinates for grid program ``pid`` on the tile axis:
+    (scr_x, scr_y, view, valid). Pixels flatten over (view, y, x);
+    out-of-range lanes (image tail) clamp to the last pixel and are
+    marked invalid. Row 0 = top (shader.frag:515-516)."""
     sublanes = cfg.tile_sublanes
     tile = sublanes * LANES
-    pid = pl.program_id(0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (sublanes, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (sublanes, LANES), 1)
-    lin = pid * tile + sub * LANES + lane
+    lin_raw = pid * tile + sub * LANES + lane
     total = n_views * height * width
-    lin = jnp.minimum(lin, total - 1)  # clamp padded tail to pixel 0's view
+    valid = lin_raw < total
+    lin = jnp.minimum(lin_raw, total - 1)
 
     view = lin // (height * width)
     rem = lin - view * (height * width)
     py = rem // width
     px = rem - py * width
 
-    # Normalized screen coords, row 0 = top (shader.frag:515-516).
     scr_x = (px.astype(jnp.float32) + 0.5) / jnp.float32(width)
     scr_y = (py.astype(jnp.float32) + 0.5) / jnp.float32(height)
+    return scr_x, scr_y, view, valid
 
-    # Per-view basis select (three_window_group.cpp:42-46): camera.top /
-    # camera.right may carry a leading view axis of static length n_views.
-    tile_zero = jnp.zeros((sublanes, LANES), jnp.float32)
+
+def _tile_camera(camera, view, n_views: int, tile_zero):
+    """Per-view basis select (three_window_group.cpp:42-46): camera.top /
+    camera.right may carry a leading view axis of static length n_views.
+    Pure jnp of the camera pytree — differentiable, shared with the
+    value-and-grad kernel (gradkernel.py)."""
 
     def view_component(c):
         # scalar + zeros instead of broadcast_to: Mosaic rejects a raw
@@ -258,6 +291,23 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     right = Vec4(*(view_component(c) for c in camera.right))
     vec_to_mtr = Vec4(*(view_component(c) for c in camera.vec_to_mtr))
     focus = Vec4(*(view_component(c) for c in camera.focus))
+    return top, right, vec_to_mtr, focus
+
+
+def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
+            n_views: int, height: int, width: int):
+    scene, camera = rebuild(params_ref)
+    # Grid = (frames, tiles): the frame axis batches whole accumulation
+    # frames (distinct seeds) into ONE dispatch, amortizing launch
+    # overhead on interactive-scale images (VERDICT r2 #3); each frame
+    # program just reads its own seed.
+    seed = seed_ref[pl.program_id(0)].astype(jnp.uint32)
+
+    sublanes = cfg.tile_sublanes
+    pid = pl.program_id(1)
+    scr_x, scr_y, view, _valid = _tile_pixels(cfg, n_views, height, width, pid)
+    tile_zero = jnp.zeros((sublanes, LANES), jnp.float32)
+    top, right, vec_to_mtr, focus = _tile_camera(camera, view, n_views, tile_zero)
 
     mx = (scr_x - 0.5) * camera.mtr_width
     my = (0.5 - scr_y) * camera.mtr_height
@@ -277,16 +327,34 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     # shader.frag:519) — paid once per pixel instead of once per sample.
     pre0 = precompute_bounce0(scene, focus, d, cfg)
 
-    def sample_body(s, acc):
-        bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
-        light, _ = trace(scene, focus, d, bits, seed, counter0, cfg, pre0=pre0)
-        return acc + light
+    if cfg.rng_mode == "sequential":
+        # The reference's per-pixel stream carried ACROSS the sample loop
+        # (shader.frag:92): bit-parity mode at production speed — within
+        # a tile each lane's samples are sequential anyway, so the
+        # counter simply rides the fori carry. Sample-axis sharding is
+        # impossible in this mode (the jnp renderer enforces the same).
+        def sample_body(s, state):
+            acc, counter = state
+            light, counter = trace(
+                scene, focus, d, pixel_bits, seed, counter, cfg, pre0=pre0
+            )
+            return acc + light, counter
 
-    acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)
+        acc, _ = jax.lax.fori_loop(
+            0, cfg.samples, sample_body, (zero3, counter0)
+        )
+    else:
+
+        def sample_body(s, acc):
+            bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
+            light, _ = trace(scene, focus, d, bits, seed, counter0, cfg, pre0=pre0)
+            return acc + light
+
+        acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)
     inv = 1.0 / jnp.float32(cfg.samples)
-    out_ref[0, 0] = acc.x * inv
-    out_ref[0, 1] = acc.y * inv
-    out_ref[0, 2] = acc.z * inv
+    out_ref[0, 0, 0] = acc.x * inv
+    out_ref[0, 0, 1] = acc.y * inv
+    out_ref[0, 0, 2] = acc.z * inv
 
 
 def render_light_pallas(
@@ -298,6 +366,11 @@ def render_light_pallas(
     Equal to models.renderer.render_light with rng_mode="per_sample" up
     to float re-association (same math, same RNG streams, same sampler;
     bitwise-equal in practice on TPU).
+
+    ``seed`` may be a (K,) vector: K whole frames (distinct seeds)
+    render in ONE kernel dispatch — grid (K, tiles) — and a leading
+    frame axis appears on the result. Per-frame values are bit-identical
+    to K scalar-seed calls.
 
     ``interpret`` runs the kernel in the Pallas interpreter (defaults to
     True off-TPU so tests cover the kernel on the CPU mesh).
@@ -323,8 +396,8 @@ def _render_light_pallas_jit(
     scene: Scene, camera: Camera, cfg: RenderConfig, seed,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    if cfg.rng_mode != "per_sample":
-        raise ValueError("the Pallas megakernel renders per-sample RNG streams")
+    if cfg.rng_mode not in ("per_sample", "sequential"):
+        raise ValueError(f"unknown rng_mode: {cfg.rng_mode!r}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     top_x = jnp.asarray(camera.top.x)
@@ -332,7 +405,9 @@ def _render_light_pallas_jit(
     height, width = cfg.height, cfg.width
 
     packed, rebuild = _pack_pytree((scene, camera))
-    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+    frame_batched = jnp.ndim(seed) >= 1
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(-1)
+    n_frames = int(seed_arr.shape[0])
 
     sublanes = cfg.tile_sublanes
     tile = sublanes * LANES
@@ -345,34 +420,45 @@ def _render_light_pallas_jit(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_frames, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, sublanes, LANES),
-            lambda i: (i, 0, 0, 0),
+            (1, 1, 3, sublanes, LANES),
+            lambda f, i: (f, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, sublanes, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_frames, n_tiles, 3, sublanes, LANES), jnp.float32
+        ),
         interpret=interpret,
     )(packed, seed_arr)
 
-    # (tiles, 3, sublanes, 128) -> (pixels, 3) -> image
-    flat = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, 3)[:total]
-    if n_views == 1:
-        return flat.reshape(height, width, 3)
-    return flat.reshape(n_views, height, width, 3)
+    # (frames, tiles, 3, sublanes, 128) -> (frames, pixels, 3) -> images
+    flat = out.transpose(0, 1, 3, 4, 2).reshape(n_frames, n_tiles * tile, 3)
+    flat = flat[:, :total]
+    shape = (height, width, 3) if n_views == 1 else (n_views, height, width, 3)
+    if frame_batched:
+        return flat.reshape((n_frames,) + shape)
+    return flat.reshape(shape)
 
 
 def render_image_pallas(
     scene: Scene, camera: Camera, cfg: RenderConfig, seed
 ) -> jnp.ndarray:
-    """Tone-mapped image via the megakernel (shader.frag:522-527)."""
+    """Tone-mapped image via the megakernel (shader.frag:522-527).
+    A (K,) ``seed`` vector renders K frames in one dispatch (leading
+    frame axis on the result)."""
     light = render_light_pallas(scene, camera, cfg, seed)
     color = light_to_color(
         Vec3(light[..., 0], light[..., 1], light[..., 2]),
         jnp.float32(cfg.light_coefficient),
     )
     return color.stack(axis=-1)
+
+
+# Engine capability flag: a (K,) seed vector batches K frames/dispatch.
+render_light_pallas.supports_seed_batch = True
+render_image_pallas.supports_seed_batch = True

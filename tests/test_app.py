@@ -75,6 +75,7 @@ def test_headless_main_renders_and_saves(tiny_config, tmp_path, capsys):
     assert "rays_per_s" in text
 
 
+@pytest.mark.slow
 def test_headless_main_three_views(tiny_config, tmp_path):
     cfg_text = TINY_CONFIG.replace(
         "show_additional_windows = false", "show_additional_windows = true"
@@ -144,7 +145,7 @@ def test_upscale_blit(tiny_config, tmp_path):
 def test_interactive_loop_commands(tiny_config, tmp_path, monkeypatch, capsys):
     import io
     save_dir = tmp_path / "saved"
-    cmds = f"frames 2\nw 0.1\nlook 0.05 0.0\nstats\nsave {save_dir}\nbogus\nquit\n"
+    cmds = f"capture\nframes 2\nw 0.1\nlook 0.05 0.0\nstats\nsave {save_dir}\nbogus\nquit\n"
     monkeypatch.setattr("sys.stdin", io.StringIO(cmds))
     rc = app_mod.main([
         "--config", str(tiny_config), "--interactive",
@@ -163,7 +164,7 @@ def test_interactive_mouse_and_wheel(tiny_config, tmp_path, monkeypatch, capsys)
     offsets beyond the border only recenter the cursor."""
     import io
 
-    cmds = "mouse 10 5\nwheel 2\nmouse 9999 0\nquit\n"
+    cmds = "capture\nmouse 10 5\nwheel 2\nmouse 9999 0\nquit\n"
     monkeypatch.setattr("sys.stdin", io.StringIO(cmds))
     rc = app_mod.main([
         "--config", str(tiny_config), "--interactive",
@@ -324,3 +325,63 @@ def test_main_with_fps_overlay_and_layout(tiny_config, tmp_path):
 
     lay = _json.loads((out / "layout.json").read_text())
     assert "yxz" in lay and "multiplier" in lay
+
+
+def test_mouse_capture_state_machine(tiny_config, tmp_path, monkeypatch, capsys):
+    """Capture gating (controls.cpp:194-205 + main.cpp:85): rendering,
+    movement and mouse-look run only while the cursor is captured; the
+    wheel rotates psi (and resets accumulation) even uncaptured but
+    renders nothing; Escape releases capture again."""
+    import io
+
+    cmds = (
+        "frames 3\n"        # uncaptured: ignored, nothing renders
+        "mouse 10 5\n"      # uncaptured: ignored
+        "wheel 2\n"         # uncaptured: psi rotates, NO render
+        "capture\n"
+        "frames 2\n"        # captured: renders
+        "escape\n"
+        "frames 5\n"        # released again: ignored
+        "quit\n"
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(cmds))
+    captured_engines = {}
+    orig_build = app_mod.build_engine
+
+    def spy_build(app, deterministic=False):
+        eng = orig_build(app, deterministic=deterministic)
+        captured_engines["eng"] = eng
+        return eng
+
+    monkeypatch.setattr(app_mod, "build_engine", spy_build)
+    rc = app_mod.main([
+        "--config", str(tiny_config), "--interactive",
+        "--out", str(tmp_path / "out"), "--deterministic",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "frames ignored: cursor not captured" in out
+    assert "mouse ignored: cursor not captured" in out
+    assert "cursor captured" in out
+    assert "cursor released" in out
+    # Only the 2 captured frames rendered; the wheel reset frame_number
+    # to 1 before capture, so after 2 frames the counter reads 3.
+    assert captured_engines["eng"].frame_number == 3
+
+
+def test_capture_fps_overlay_suppression():
+    """mouseJustHidden (main.cpp:97-102): the FIRST rendered frame after
+    capture suppresses the FPS overlay; the next frame restores it."""
+    cap = app_mod.CaptureState()
+    assert not cap.captured
+    cap.capture()
+    assert cap.captured and cap.fps_suppress
+    cap.frame_rendered()
+    assert not cap.fps_suppress
+    # Re-capturing while already captured does NOT re-arm suppression
+    # (controls.cpp:195 arms mouseJustHidden only when !mouseHidden).
+    cap.capture()
+    assert not cap.fps_suppress
+    cap.release()
+    cap.capture()
+    assert cap.fps_suppress

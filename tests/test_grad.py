@@ -1,4 +1,5 @@
 """Gradient tests: AD vs finite differences at fixed seeds (SURVEY §4.4)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,12 +44,14 @@ def fd(f, x0, eps):
     return (f(x0 + eps) - f(x0 - eps)) / (2 * eps)
 
 
+@pytest.mark.slow
 def test_grads_finite_everywhere():
     g = jax.grad(lambda s: mean_image(s))(scene_with())
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_grad_wrt_sphere_radius_matches_fd():
     f = lambda r: mean_image(scene_with(r=r))
     ad = float(jax.grad(f)(jnp.float32(0.5)))
@@ -57,6 +60,7 @@ def test_grad_wrt_sphere_radius_matches_fd():
     np.testing.assert_allclose(ad, fd_val, rtol=0.08, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_wrt_sphere_position_matches_fd():
     f = lambda cx: mean_image(scene_with(cx=cx))
     ad = float(jax.grad(f)(jnp.float32(1.0)))

@@ -62,6 +62,7 @@ def _expected():
     return float(mean), float(optax.global_norm(g))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_matches_single_process(multihost_result):
     assert multihost_result["global_devices"] == 8
     want_mean, want_gn = _expected()

@@ -264,6 +264,7 @@ def test_golden_pathtrace_sequential_stream():
 
 
 @pytest.mark.parametrize("scene_name", SCENE_NAMES)
+@pytest.mark.slow
 def test_golden_pathtrace_pallas(scene_name):
     """The Pallas megakernel against the ORACLE golden — non-circular:
     even though the kernel shares math with the jnp renderer, the

@@ -62,10 +62,37 @@ def test_megakernel_unroll_loop_matches(scene_name):
                         mean_atol=0.05)
 
 
-def test_megakernel_rejects_sequential_rng():
-    cfg = RenderConfig(width=32, height=16, samples=2, rng_mode="sequential")
-    with pytest.raises(ValueError):
-        render_light_pallas(library.tiger(), default_camera(), cfg, 1)
+def test_megakernel_sequential_rng_matches_jnp():
+    """rng_mode="sequential" — the reference's per-pixel stream carried
+    across the sample loop (shader.frag:92) — through the megakernel:
+    bit-parity mode at production speed (VERDICT r2 missing #2). The
+    kernel must pay the dead final-iteration draws exactly like
+    renderer.trace_rays so the NEXT sample's stream matches."""
+    cfg = RenderConfig(
+        width=32, height=16, samples=3, reflections_amount=2,
+        rng_mode="sequential",
+    )
+    scene = library.sphere_plane_light()
+    camera = default_camera()
+    ref = np.asarray(render_light(scene, camera, cfg, 13))
+    out = np.asarray(render_light_pallas(scene, camera, cfg, 13))
+    assert_images_close(out, ref, atol=1e-5, boundary_frac=0.02,
+                        mean_atol=0.05)
+
+
+def test_megakernel_sequential_rng_zero_bounce():
+    """reflections_amount=0 exercises the pre0 shade-only branch's
+    sequential dead draws (they shift sample 2+'s stream)."""
+    cfg = RenderConfig(
+        width=32, height=16, samples=3, reflections_amount=0,
+        rng_mode="sequential",
+    )
+    scene = library.sphere_plane_light()
+    camera = default_camera()
+    ref = np.asarray(render_light(scene, camera, cfg, 7))
+    out = np.asarray(render_light_pallas(scene, camera, cfg, 7))
+    assert_images_close(out, ref, atol=1e-5, boundary_frac=0.02,
+                        mean_atol=0.05)
 
 
 def test_megakernel_view_batched():
@@ -121,3 +148,17 @@ def test_megakernel_bitwise_on_tpu():
     # and the jnp pipeline compiled for TPU agrees up to boundary flips
     ref = np.asarray(render_light(scene, camera, CFG, 7))
     assert_images_close(a, ref, atol=1e-5, boundary_frac=0.02)
+
+
+def test_megakernel_frame_batch_bitwise():
+    """A (K,) seed vector (grid frame axis, one dispatch) must be
+    BIT-identical per frame to K scalar-seed calls (VERDICT r2 #3:
+    interactive-scale frames batch into one launch)."""
+    scene = library.sphere_plane_light()
+    camera = default_camera()
+    seeds = np.asarray([3, 9, 3, 17], np.uint32)
+    batch = np.asarray(render_light_pallas(scene, camera, CFG, seeds))
+    assert batch.shape == (4, CFG.height, CFG.width, 3)
+    for k, s in enumerate(seeds):
+        single = np.asarray(render_light_pallas(scene, camera, CFG, s))
+        np.testing.assert_array_equal(batch[k], single)

@@ -67,6 +67,7 @@ def test_jit_matches_eager():
     assert_images_close(eager, jitted, atol=1e-5, boundary_frac=0.07)
 
 
+@pytest.mark.slow
 def test_view_batching_matches_individual_views():
     """One batched launch == three sequential draws (SURVEY §2.4)."""
     scene = library.duocylinder()

@@ -33,6 +33,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 4)])
+@pytest.mark.slow
 def test_sharded_image_bitwise_equals_single_device(shape):
     """Determinism across ANY mesh factorization (SURVEY §4.6).
 
@@ -61,6 +62,7 @@ def test_sequential_mode_rejects_sample_sharding():
         pmesh.sharded_render_light(scene, default_camera(), cfg, 1, m)
 
 
+@pytest.mark.slow
 def test_sharded_grads_equal_single_device():
     """psum'd scene grads == single-device grads (SURVEY §4.5)."""
     scene = library.sphere_plane_light()
@@ -89,6 +91,7 @@ def test_sharded_grads_equal_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_view_batched_sharded_render():
     scene = library.duocylinder()
     angles = cam.CameraAngles(jnp.float32(0.1), jnp.float32(0.0), jnp.float32(0.2))

@@ -134,3 +134,115 @@ def test_primary_coverage_limits():
 def test_drop_sphere():
     s = glow_sphere_scene()
     assert drop_sphere(s, 0).spheres == ()
+
+
+# --- Generalized per-primitive silhouette coverage (VERDICT r2 #5) -----
+
+def glow_hypercube_scene(cx=0.0):
+    """One flat emissive hypercube, black environment: only the
+    silhouette carries position signal."""
+    from fourd_ray_tracing_tpu.models.scene import Scene
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+    from fourd_ray_tracing_tpu.ops.vec4 import Vec4 as V
+
+    mat = material(10.0, 0.0, (1, 1, 1))
+    hc = geo.make_hypercube(
+        V.of(cx, 1.8, 0.0, 0.0),
+        V.of(1, 0, 0, 0), V.of(0, 1, 0, 0), V.of(0, 0, 1, 0), V.of(0, 0, 0, 1),
+        0.5, (mat,) * 8,
+    )
+    return Scene(hypercube=hc, environment=None)
+
+
+def glow_cylinder_scene(r=0.5):
+    from fourd_ray_tracing_tpu.models.scene import Scene, cylinder
+
+    mat = material(10.0, 0.0, (1, 1, 1))
+    return Scene(
+        cylinders=(cylinder((0, 1.8, 0, 0), (0, 0, 1, 0), (0, 0, 0, 1), r, mat),),
+        environment=None,
+    )
+
+
+def test_object_coverage_shapes_and_limits():
+    from fourd_ray_tracing_tpu.diff import object_coverage
+    from fourd_ray_tracing_tpu.models import library
+
+    camera = default_camera()
+    cases = [
+        (glow_hypercube_scene(), ("hypercube", None)),
+        (glow_cylinder_scene(), ("cylinders", 0)),
+        (library.duocylinder(), ("cylinders_union", None)),
+        (library.tiger(), ("tiger", None)),
+        (library.sphere_plane_light(), ("spaces", 0)),
+    ]
+    for scene, ref in cases:
+        alpha = np.asarray(object_coverage(scene, ref, camera, CFG, 0.05))
+        assert alpha.shape == (CFG.height, CFG.width), ref
+        assert np.isfinite(alpha).all(), ref
+        assert alpha.min() >= 0.0 and alpha.max() <= 1.0, ref
+        # every shipped case has the object visibly on-screen
+        assert alpha.max() > 0.5, ref
+
+
+def test_drop_object_all_kinds():
+    from fourd_ray_tracing_tpu.diff import drop_object
+    from fourd_ray_tracing_tpu.models import library
+
+    assert drop_object(glow_hypercube_scene(), ("hypercube", None)).hypercube is None
+    assert drop_object(library.tiger(), ("tiger", None)).tiger is None
+    assert drop_object(
+        library.duocylinder(), ("cylinders_union", None)
+    ).cylinders_union is None
+    assert drop_object(glow_cylinder_scene(), ("cylinders", 0)).cylinders == ()
+    s = library.sphere_plane_light()
+    assert len(drop_object(s, ("spaces", 0)).spaces) == len(s.spaces) - 1
+
+
+def test_soft_recovers_hypercube_center_through_silhouette():
+    """VERDICT r2 #5 acceptance: optimize the hypercube CENTER from a
+    target image where only the silhouette carries the signal."""
+    from fourd_ray_tracing_tpu.diff import soft_image_loss
+
+    camera = default_camera()
+    true_cx = 0.4
+    target = render_image(glow_hypercube_scene(cx=true_cx), camera, CFG, SEED)
+
+    def hard(cx):
+        return image_loss(glow_hypercube_scene(cx=cx), camera, CFG, SEED, target)
+
+    assert float(jax.grad(hard)(jnp.float32(0.0))) == 0.0  # boundary-blind
+
+    def soft(cx):
+        return soft_image_loss(
+            glow_hypercube_scene(cx=cx), camera, CFG, SEED, target,
+            edge_width=0.08, object_ref=("hypercube", None),
+        )
+
+    # Gradient points toward the target…
+    assert float(jax.grad(soft)(jnp.float32(0.0))) < -1e-6
+    # …and gradient descent recovers the center.
+    cx = jnp.float32(0.0)
+    g = jax.jit(jax.grad(soft))
+    for _ in range(60):
+        cx = cx - 2.0 * g(cx)
+    assert abs(float(cx) - true_cx) < 0.1, float(cx)
+
+
+def test_soft_cylinder_radius_gradient_matches_fd():
+    from fourd_ray_tracing_tpu.diff import soft_image_loss
+
+    camera = default_camera()
+    target = render_image(glow_cylinder_scene(r=0.7), camera, CFG, SEED)
+
+    def soft(r):
+        return soft_image_loss(
+            glow_cylinder_scene(r=r), camera, CFG, SEED, target,
+            edge_width=0.08, object_ref=("cylinders", 0),
+        )
+
+    ad = float(jax.grad(soft)(jnp.float32(0.5)))
+    eps = 1e-3
+    fd = (float(soft(jnp.float32(0.5 + eps))) - float(soft(jnp.float32(0.5 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(ad, fd, rtol=0.05, atol=1e-4)
+    assert ad < 0  # growing toward the target radius decreases loss
