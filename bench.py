@@ -369,14 +369,16 @@ def main():
         "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES, BOUNCES)
     run_forward_workload(
         "hypercube_1280x720x8x4", "hypercube", WIDTH, HEIGHT, SAMPLES, BOUNCES)
-    # Heavy-compile three-view workloads run the fori loop (identical
-    # images; unrolled tiger kernels compile for 10+ minutes).
+    # Three-view workloads also run unrolled: the direct candidate fold
+    # shrank the tiger kernel enough that the unrolled Mosaic compile
+    # dropped from 10+ minutes (round 1) to seconds, and unroll is ~3%
+    # faster steady-state than fori.
     run_forward_workload(
         "duocylinder_3view", "duocylinder", WIDTH, HEIGHT, SAMPLES, BOUNCES,
-        views=cam.VIEWS_ALL, loop="fori")
+        views=cam.VIEWS_ALL)
     run_forward_workload(
         "tiger_3view", "tiger", WIDTH, HEIGHT, SAMPLES, BOUNCES,
-        views=cam.VIEWS_ALL, loop="fori")
+        views=cam.VIEWS_ALL)
     grad_impl = "pallas" if IMPL == "pallas" else "xla"
     run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES,
                       impl=grad_impl)

@@ -381,41 +381,59 @@ def intersect_scene_fast(
         if hc.point is None or hc.axes is None:
             composite(geo.hypercube_intersection(hc, o, d))
         else:
-            # Shared-dot cells (geo.hypercube_intersection_fast) as 8
+            # Shared-dot cells (geo.hypercube_intersection_fast) as
             # direct fold candidates. The hypercube boundary is convex
             # and cells only register ENTRY hits (facing test), so at
             # most one cell hits per ray and the reference's
             # first-hit-in-order semantics (shader.frag:394-400)
             # coincide with the closest fold; shared-edge ties keep the
             # earlier cell, like the reference's early-exit loop.
+            #
+            # Opposite-cell pairing (the cell analogue of the wall-pair
+            # fold): per axis i the +cell faces the ray iff dd_i <= 0
+            # (its cos_dn = -dd_i) and the -cell iff dd_i >= 0 — at most
+            # one of the pair can pass the facing gate, so each axis
+            # folds ONE candidate with sign-selected h/material instead
+            # of two: 4 fold candidates, 4 resolvers. Values equal the
+            # per-cell path on the selected (only possibly-hitting) cell.
             c, axes, r = hc.point, hc.axes, hc.r
             co = [dot(c - o, a) for a in axes]
             dd = [dot(d, a) for a in axes]
-            for sign in (1.0, -1.0):
-                for i in range(4):
-                    h = -(co[i] + r) if sign > 0 else co[i] - r
-                    cos_dn = -dd[i] if sign > 0 else dd[i]
-                    facing = jnp.logical_and(h >= 0.0, cos_dn >= 0.0)
-                    dist_c = h / jnp.where(cos_dn == 0.0, 1e-30, cos_dn)
-                    inside = facing
-                    for j in range(4):
-                        if j == i:
-                            continue
-                        e = dist_c * dd[j] - co[j]
-                        inside = jnp.logical_and(inside, jnp.abs(e) <= r)
-                    mat = hc.cubes[(0 if sign > 0 else 4) + i].material
-                    dists.append(jnp.where(inside, dist_c, _FAR))
+            for i in range(4):
+                pos = dd[i] <= 0.0  # +cell is the facing one
+                h = jnp.where(pos, -(co[i] + r), co[i] - r)
+                cos_dn = jnp.abs(dd[i])
+                facing = h >= 0.0  # cos_dn >= 0 holds by construction
+                dist_c = h / jnp.where(cos_dn == 0.0, 1e-30, cos_dn)
+                inside = facing
+                for j in range(4):
+                    if j == i:
+                        continue
+                    e = dist_c * dd[j] - co[j]
+                    inside = jnp.logical_and(inside, jnp.abs(e) <= r)
+                dists.append(jnp.where(inside, dist_c, _FAR))
 
-                    def resolve(mask, dist, hit_p, norm, glow, refl, color,
-                                a=axes[i], sign=sign, mat=mat):
-                        nrm = Vec4(
-                            sign * a.x + zero, sign * a.y + zero,
-                            sign * a.z + zero, sign * a.w + zero,
-                        )
-                        return (nrm.where(mask, norm),
-                                *mat_resolve(mask, mat, glow, refl, color))
+                def resolve(mask, dist, hit_p, norm, glow, refl, color,
+                            a=axes[i], pos=pos,
+                            mat_p=hc.cubes[i].material,
+                            mat_n=hc.cubes[4 + i].material):
+                    sgn = jnp.where(pos, 1.0, -1.0)
+                    nrm = Vec4(sgn * a.x, sgn * a.y, sgn * a.z, sgn * a.w)
+                    norm = nrm.where(mask, norm)
+                    glow = jnp.where(
+                        mask, jnp.where(pos, mat_p.glow, mat_n.glow), glow)
+                    refl = jnp.where(
+                        mask,
+                        jnp.where(pos, mat_p.refl_prob, mat_n.refl_prob),
+                        refl)
+                    color = Vec3(
+                        jnp.where(mask, jnp.where(pos, mat_p.color.x, mat_n.color.x), color.x),
+                        jnp.where(mask, jnp.where(pos, mat_p.color.y, mat_n.color.y), color.y),
+                        jnp.where(mask, jnp.where(pos, mat_p.color.z, mat_n.color.z), color.z),
+                    )
+                    return norm, glow, refl, color
 
-                    resolvers.append(resolve)
+                resolvers.append(resolve)
 
     if scene.tiger is not None:
         # 8 tiger faces as direct fold candidates with the two family

@@ -67,12 +67,17 @@ from fourd_ray_tracing_tpu.ops.vec4 import Vec3, normalize
 
 
 def _loss_grad_kernel(
-    params_ref, seed_ref, target_ref, loss_ref, grad_ref, *,
+    params_ref, seed_ref, tile0_ref, target_ref, loss_ref, grad_ref, *,
     rebuild, n_params: int, cfg: RenderConfig,
     n_views: int, height: int, width: int,
 ):
     seed = seed_ref[0].astype(jnp.uint32)
-    pid = pl.program_id(0)
+    # tile0: global index of this launch's first tile — 0 single-device;
+    # device_index * tiles_local under mesh sharding (the tile axis IS
+    # the shard axis, see sharded_loss_and_grad_pallas). Pixel coords and
+    # RNG streams derive from the GLOBAL tile index, so sharding never
+    # changes loss or gradients (SURVEY §4.6).
+    pid = pl.program_id(0) + tile0_ref[0]
     scr_x, scr_y, view, valid = _tile_pixels(cfg, n_views, height, width, pid)
     tile_zero = jnp.zeros(scr_x.shape, jnp.float32)
     pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
@@ -138,8 +143,10 @@ def _loss_grad_kernel(
     loss_val, tl_vjp = jax.vjp(tile_loss, (acc.x, acc.y, acc.z))
     (cot_acc,) = tl_vjp(jnp.float32(1.0))  # (dL/dacc_x, dL/dacc_y, dL/dacc_z)
     # Outputs live as FULL (tiles, ...) SMEM arrays (Mosaic's blocked
-    # specs require (8,128)-divisible tails); each program writes its row.
-    loss_ref[pid, 0] = loss_val
+    # specs require (8,128)-divisible tails); each program writes its
+    # LOCAL row (outputs are per-launch, hence program_id not pid).
+    lpid = pl.program_id(0)
+    loss_ref[lpid, 0] = loss_val
 
     # --- pass 2: per-sample reverse sweep ------------------------------
     # acc = sum_s light_s, so every sample's light carries the SAME
@@ -163,7 +170,7 @@ def _loss_grad_kernel(
     zero_g = tuple(jnp.float32(0.0) for _ in range(n_params))
     g = jax.lax.fori_loop(0, cfg.samples, grad_body, zero_g)
     for k in range(n_params):
-        grad_ref[pid, k] = g[k]
+        grad_ref[lpid, k] = g[k]
 
 
 def render_loss_and_grad_pallas(
@@ -181,11 +188,7 @@ def render_loss_and_grad_pallas(
     return _render_loss_and_grad_jit(scene, camera, cfg, seed, target, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _render_loss_and_grad_jit(
-    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target,
-    interpret: bool | None = None,
-):
+def _check_cfg(cfg: RenderConfig) -> None:
     if cfg.rng_mode != "per_sample":
         raise ValueError(
             "the value-and-grad megakernel renders per-sample RNG streams"
@@ -195,35 +198,44 @@ def _render_loss_and_grad_jit(
             "plane hints zero out normal-component gradients; the "
             "value-and-grad kernel must run without hints"
         )
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    top_x = jnp.asarray(camera.top.x)
-    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
-    height, width = cfg.height, cfg.width
 
-    packed, rebuild = _pack_pytree((scene, camera))
-    n_params = int(packed.shape[0])
-    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
 
-    sublanes = cfg.tile_sublanes
+def _target_tiles(target, total: int, n_tiles: int, sublanes: int):
+    """Target image -> the kernel's tile layout (tiles, 3, sublanes, 128);
+    padded tail lanes hold zeros (masked off in-kernel anyway)."""
     tile = sublanes * LANES
-    total = n_views * height * width
-    n_tiles = pl.cdiv(total, tile)
-
-    # Target image -> the kernel's tile layout (tiles, 3, sublanes, 128);
-    # padded tail lanes hold zeros (masked off in-kernel anyway).
     t = jnp.asarray(target, jnp.float32).reshape(total, 3)
     t = jnp.pad(t, ((0, n_tiles * tile - total), (0, 0)))
-    t_tiles = t.reshape(n_tiles, sublanes, LANES, 3).transpose(0, 3, 1, 2)
+    return t.reshape(n_tiles, sublanes, LANES, 3).transpose(0, 3, 1, 2)
 
+
+def _launch(packed, rebuild, seed, tile0, t_tiles, cfg, n_views, height,
+            width, interpret, vma=None):
+    """One value-and-grad kernel launch over t_tiles.shape[0] tiles
+    starting at global tile index ``tile0``. Returns (loss_parts,
+    grad_parts) — UNSCALED per-tile sums, additive across launches.
+    ``vma``: mesh axes the outputs vary over (required by shard_map's
+    replication checker when launching inside it)."""
+    n_params = int(packed.shape[0])
+    n_tiles = int(t_tiles.shape[0])
+    sublanes = cfg.tile_sublanes
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+    tile0_arr = jnp.asarray(tile0, jnp.int32).reshape(1)
     kernel = functools.partial(
         _loss_grad_kernel, rebuild=rebuild, n_params=n_params, cfg=cfg,
         n_views=n_views, height=height, width=width,
     )
-    loss_parts, grad_parts = pl.pallas_call(
+
+    def out_struct(shape):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+
+    return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -237,14 +249,108 @@ def _render_loss_and_grad_jit(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, n_params), jnp.float32),
+            out_struct((n_tiles, 1)),
+            out_struct((n_tiles, n_params)),
         ),
         interpret=interpret,
-    )(packed, seed_arr, t_tiles)
+    )(packed, seed_arr, tile0_arr, t_tiles)
 
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _render_loss_and_grad_jit(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target,
+    interpret: bool | None = None,
+):
+    _check_cfg(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    tile = cfg.tile_sublanes * LANES
+    total = n_views * height * width
+    n_tiles = pl.cdiv(total, tile)
+    t_tiles = _target_tiles(target, total, n_tiles, cfg.tile_sublanes)
+
+    loss_parts, grad_parts = _launch(
+        packed, rebuild, seed, 0, t_tiles, cfg, n_views, height, width,
+        interpret,
+    )
     scale = np.float32(1.0 / (total * 3))
     loss = jnp.sum(loss_parts) * scale
     g_packed = jnp.sum(grad_parts, axis=0) * scale
     grads = rebuild(g_packed)
     return loss, grads
+
+
+def sharded_loss_and_grad_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target, mesh,
+    interpret: bool | None = None,
+):
+    """(loss, (grad_scene, grad_camera)) with the TILE axis of the
+    value-and-grad kernel sharded over every device of ``mesh`` — the
+    multi-chip training path on the production kernel.
+
+    Each device launches the kernel on its block of pixel tiles (tile0 =
+    device_index * tiles_local; pixel coords and RNG streams derive from
+    the GLOBAL tile index) against its slice of the target; the per-tile
+    loss/gradient sums are additive, so one `psum` over the whole mesh
+    (riding ICI) produces loss and gradients identical to the
+    single-device kernel up to reduction order. The tile count pads up to
+    a multiple of the device count; padding tiles have every lane masked
+    invalid and contribute exact zeros.
+    """
+    _check_cfg(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    tile = cfg.tile_sublanes * LANES
+    total = n_views * height * width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_tiles = pl.cdiv(total, tile)
+    n_tiles = pl.cdiv(n_tiles, n_dev) * n_dev  # pad to a device multiple
+    tiles_local = n_tiles // n_dev
+    t_tiles = _target_tiles(target, total, n_tiles, cfg.tile_sublanes)
+
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local(packed, seed, t_tiles_local):
+        # Linear device index over the whole mesh = global tile offset.
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        loss_parts, grad_parts = _launch(
+            packed, rebuild, seed, idx * tiles_local, t_tiles_local,
+            cfg, n_views, height, width, interpret, vma=axes,
+        )
+        loss = jax.lax.psum(jnp.sum(loss_parts), axes)
+        g = jax.lax.psum(jnp.sum(grad_parts, axis=0), axes)
+        return loss, g
+
+    # check_vma=False: pallas_call's internal lowering/interpreter mixes
+    # its own replicated constants with the varying tile0 operand and
+    # trips the replication checker INSIDE pallas machinery (jax raises
+    # "Primitive add requires varying manual axes to match ... as a
+    # temporary workaround pass check_vma=False"); pcast on our operands
+    # cannot reach those internals. Semantics are covered by
+    # tests/test_gradkernel.py::test_sharded_loss_and_grad_matches_
+    # single_device (sharded == single-device bitwise up to reduction
+    # order, two mesh shapes).
+    loss, g_packed = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axes)),  # target tiles sharded over all axes
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(packed, jnp.asarray(seed, jnp.uint32), t_tiles)
+
+    scale = np.float32(1.0 / (total * 3))
+    return loss * scale, rebuild(g_packed * scale)

@@ -161,3 +161,35 @@ def test_pallas_train_step_reduces_loss():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+@pytest.mark.slow
+def test_sharded_loss_and_grad_matches_single_device():
+    """Tile-sharded value-and-grad kernel over the 8-device CPU mesh:
+    loss and every gradient equal the single-device kernel (reduction
+    order only), for mesh shapes that do and don't divide the tile
+    count."""
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        sharded_loss_and_grad_pallas,
+    )
+    from fourd_ray_tracing_tpu.parallel.mesh import make_mesh
+
+    scene = library.room_with_sphere()
+    camera = default_camera()
+    target = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (CFG.height, CFG.width, 3)),
+        jnp.float32,
+    )
+    loss_1, (gs_1, gc_1) = render_loss_and_grad_pallas(
+        scene, camera, CFG, 9, target
+    )
+    for shape in ((8, 1), (2, 2)):
+        mesh = make_mesh(rays=shape[0], samples=shape[1],
+                         devices=jax.devices()[: shape[0] * shape[1]])
+        loss_n, (gs_n, _) = sharded_loss_and_grad_pallas(
+            scene, camera, CFG, 9, target, mesh
+        )
+        np.testing.assert_allclose(float(loss_n), float(loss_1), rtol=1e-5)
+        np.testing.assert_allclose(
+            _flat_grads(gs_n), _flat_grads(gs_1), rtol=1e-4, atol=1e-9
+        )
