@@ -196,14 +196,23 @@ def save_windows(
 def run_frames(engine: RenderEngine, meter: Meter, n: int, quiet=False,
                min_frame_seconds: float = 0.0):
     """Step n frames; ``min_frame_seconds`` paces the loop like the
-    reference's framerate cap (windows.cpp:30 setFramerateLimit(maxFPS))."""
-    for _ in range(n):
-        t0 = time.perf_counter()
-        with meter.measure(engine.rays_per_frame()) as h:
-            h["result"] = engine.step_frame()
-        leftover = min_frame_seconds - (time.perf_counter() - t0)
-        if leftover > 0:
-            time.sleep(leftover)
+    reference's framerate cap (windows.cpp:30 setFramerateLimit(maxFPS)).
+
+    Unpaced multi-frame runs (max_fps disabled) batch ALL n frames into
+    one dispatch per view group (engine.step_frames): the idle
+    progressive-accumulation path is dispatch-bound per frame otherwise,
+    and the batched sequence is bit-identical to n single steps."""
+    if n > 1 and min_frame_seconds <= 0.0:
+        with meter.measure(engine.rays_per_frame() * n, frames=n) as h:
+            h["result"] = engine.step_frames(n)
+    else:
+        for _ in range(n):
+            t0 = time.perf_counter()
+            with meter.measure(engine.rays_per_frame()) as h:
+                h["result"] = engine.step_frame()
+            leftover = min_frame_seconds - (time.perf_counter() - t0)
+            if leftover > 0:
+                time.sleep(leftover)
     if not quiet:
         log0(meter.stats.as_json())
 

@@ -66,6 +66,13 @@ from fourd_ray_tracing_tpu.ops.sky import light_to_color
 from fourd_ray_tracing_tpu.ops.vec4 import Vec3, normalize
 
 
+# Perf-debugging switch: compile the kernel WITHOUT the pass-2 reverse
+# sweep (gradients come out zero) to attribute step time between the
+# forward/cotangent half and the per-sample vjp sweep. Never set in
+# production.
+DEBUG_SKIP_PASS2 = False
+
+
 def _loss_grad_kernel(
     params_ref, seed_ref, tile0_ref, target_ref, loss_ref, grad_ref, *,
     rebuild, n_params: int, cfg: RenderConfig,
@@ -168,7 +175,10 @@ def _loss_grad_kernel(
         return tuple(a + b for a, b in zip(g, gs))
 
     zero_g = tuple(jnp.float32(0.0) for _ in range(n_params))
-    g = jax.lax.fori_loop(0, cfg.samples, grad_body, zero_g)
+    if DEBUG_SKIP_PASS2:
+        g = zero_g
+    else:
+        g = jax.lax.fori_loop(0, cfg.samples, grad_body, zero_g)
     for k in range(n_params):
         grad_ref[lpid, k] = g[k]
 

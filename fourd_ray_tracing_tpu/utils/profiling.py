@@ -53,7 +53,7 @@ class Meter:
         self.stats = FrameStats()
 
     @contextlib.contextmanager
-    def measure(self, rays: int):
+    def measure(self, rays: int, frames: int = 1):
         t0 = time.perf_counter()
         holder = {}
         try:
@@ -62,7 +62,7 @@ class Meter:
             if "result" in holder:
                 jax.block_until_ready(holder["result"])
             dt = time.perf_counter() - t0
-            self.stats.frames += 1
+            self.stats.frames += frames
             self.stats.seconds += dt
             self.stats.rays += rays
 

@@ -74,6 +74,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--mesh", action="store_true",
                     help="shard rays/samples over all local devices")
+    ap.add_argument("--impl", choices=("xla", "pallas"), default="xla",
+                    help="pallas = the value-and-grad megakernel train "
+                    "path (hard loss, single device)")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (save each 20 steps)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--tol", type=float, default=None,
@@ -128,10 +131,14 @@ def main(argv=None) -> int:
 
         read = lambda s: float(s.spheres[1].center.x)
 
+    if args.impl == "pallas" and (soft is not None or mesh is not None):
+        raise SystemExit("--impl pallas supports the hard single-device "
+                         "loss (use --param glow without --mesh)")
     opt = optax.adam(lr)
     step = make_train_step(cfg, opt, camera, mesh=mesh,
                            param_filter=param_filter,
-                           soft_sphere_index=soft, edge_width=0.08)
+                           soft_sphere_index=soft, edge_width=0.08,
+                           impl=args.impl)
     scene, opt_state = scene0, opt.init(scene0)
     for k in range(args.steps):
         scene, opt_state, loss, metrics = step(scene, opt_state,
