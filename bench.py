@@ -304,6 +304,63 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
     return med
 
 
+def run_train_scan_workload(width, height, samples, bounces, k=4):
+    """Steady-state TRAINING throughput: ``k`` full optimizer steps
+    (value-and-grad megakernel + adam update, scene evolving) scanned
+    inside ONE jit — the production train-loop shape, with zero per-step
+    host dispatch. Complements inverse_step, which measures a single
+    eagerly-dispatched value_and_grad call."""
+    import optax
+
+    from fourd_ray_tracing_tpu.diff import pallas_image_loss
+
+    cfg = RenderConfig(
+        width=width, height=height, samples=samples,
+        reflections_amount=bounces, light_coefficient=0.12,
+        sampler_method=SAMPLER, rng_mode="per_sample", intersect="fast",
+        tile_sublanes=TILE_SUBLANES,
+    )
+    scene0 = library.SCENES["room_with_sphere"]()
+    camera = default_camera()
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    opt = optax.adam(1e-3)
+
+    def one_step(carry, seed):
+        scene, opt_state = carry
+        loss, grads = jax.value_and_grad(pallas_image_loss)(
+            scene, camera, cfg, seed, target
+        )
+        updates, opt_state = opt.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        return (scene, opt_state), loss
+
+    @jax.jit
+    def run_k(scene, opt_state, seeds):
+        (scene, opt_state), losses = jax.lax.scan(
+            one_step, (scene, opt_state), seeds
+        )
+        return losses[-1]
+
+    opt_state0 = opt.init(scene0)
+
+    def fn(seed):
+        seeds = jnp.uint32(seed) * np.uint32(k) + jnp.arange(k, dtype=jnp.uint32)
+        return run_k(scene0, opt_state0, seeds)
+
+    rays = width * height * samples * k
+    loss = jax.block_until_ready(fn(np.uint32(1)))
+    assert bool(jnp.isfinite(loss)), "non-finite loss in train scan bench"
+    lo, med, hi = time_rounds(fn, rays, frames=max(1, FRAMES // 4))
+    emit({
+        "metric": "grad_rays_per_second", "workload": f"train_scan{k}",
+        "scene": "room_with_sphere", "impl": "pallas",
+        "value": med, "min": lo, "max": hi,
+        "unit": "rays/s", "rays_per_frame": rays, "steps_per_launch": k,
+        "vs_baseline": med / TARGET_RAYS_PER_S,
+    })
+    return med
+
+
 def grad_flops_per_ray(cfg):
     """XLA cost analysis of the jnp value-and-grad at tiny resolution ->
     FLOPs per traced forward path of the full loss+gradient step (the
@@ -383,6 +440,7 @@ def main():
     run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES,
                       impl=grad_impl)
     if grad_impl == "pallas":
+        run_train_scan_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
         run_grad_workload(grad_xla_res[0], grad_xla_res[1], SAMPLES, BOUNCES,
                           impl="xla", workload="inverse_step_xla")
 

@@ -246,3 +246,33 @@ def test_soft_cylinder_radius_gradient_matches_fd():
     fd = (float(soft(jnp.float32(0.5 + eps))) - float(soft(jnp.float32(0.5 - eps)))) / (2 * eps)
     np.testing.assert_allclose(ad, fd, rtol=0.05, atol=1e-4)
     assert ad < 0  # growing toward the target radius decreases loss
+
+
+def test_soft_recovers_duocylinder_center_through_silhouette():
+    """Silhouette-driven recovery for the duocylinder family: optimize
+    the duocylinder's center x from a target image."""
+    from fourd_ray_tracing_tpu.diff import soft_image_loss
+    from fourd_ray_tracing_tpu.models.scene import Scene, cylinder
+
+    def duo_scene(cx):
+        mat = material(10.0, 0.0, (1, 1, 1))
+        c1 = cylinder((cx, 1.8, 0.0, 0.0), (0, 0, 1, 0), (0, 0, 0, 1), 0.5, mat)
+        c2 = cylinder((cx, 1.8, 0.0, 0.0), (1, 0, 0, 0), (0, 1, 0, 0), 0.5, mat)
+        return Scene(cylinders_union=(c1, c2), environment=None)
+
+    camera = default_camera()
+    true_cx = 0.35
+    target = render_image(duo_scene(true_cx), camera, CFG, SEED)
+
+    def soft(cx):
+        return soft_image_loss(
+            duo_scene(cx), camera, CFG, SEED, target,
+            edge_width=0.08, object_ref=("cylinders_union", None),
+        )
+
+    g = jax.jit(jax.grad(soft))
+    assert float(g(jnp.float32(0.0))) < -1e-7  # points toward the target
+    cx = jnp.float32(0.0)
+    for _ in range(60):
+        cx = cx - 2.0 * g(cx)
+    assert abs(float(cx) - true_cx) < 0.12, float(cx)
