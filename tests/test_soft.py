@@ -276,3 +276,34 @@ def test_soft_recovers_duocylinder_center_through_silhouette():
     for _ in range(60):
         cx = cx - 2.0 * g(cx)
     assert abs(float(cx) - true_cx) < 0.12, float(cx)
+
+
+def test_soft_tiger_center_gradient_points_at_target():
+    """Tiger silhouette coverage: the soft loss's gradient w.r.t. the
+    tiger's center x points toward the target position."""
+    from fourd_ray_tracing_tpu.diff import soft_image_loss
+    from fourd_ray_tracing_tpu.models.scene import Scene
+    from fourd_ray_tracing_tpu.ops import geometry as geo
+    from fourd_ray_tracing_tpu.ops.vec4 import Vec4 as V
+
+    def tiger_scene(cx):
+        mat = material(10.0, 0.0, (1, 1, 1))
+        tg = geo.make_tiger(
+            V.of(cx, 2.2, 0.0, 0.0),
+            V.of(1, 0, 0, 0), V.of(0, 1, 0, 0),
+            V.of(0, 0, 1, 0), V.of(0, 0, 0, 1),
+            0.35, 0.8, mat, mat,
+        )
+        return Scene(tiger=tg, environment=None)
+
+    camera = default_camera()
+    target = render_image(tiger_scene(0.5), camera, CFG, SEED)
+
+    def soft(cx):
+        return soft_image_loss(
+            tiger_scene(cx), camera, CFG, SEED, target,
+            edge_width=0.08, object_ref=("tiger", None),
+        )
+
+    g = float(jax.grad(soft)(jnp.float32(0.0)))
+    assert g < -1e-7, g
