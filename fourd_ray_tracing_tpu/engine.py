@@ -195,6 +195,7 @@ class RenderEngine:
             impl = "pallas" if jax.default_backend() != "cpu" else "xla"
         if impl == "pallas":
             from fourd_ray_tracing_tpu.models.scene import (
+                axis_alignment_hints,
                 plane_norm_hints,
                 plane_pair_hints,
             )
@@ -205,21 +206,25 @@ class RenderEngine:
             render = render_image_pallas
             # Inside the jitted step the scene leaves are Tracers, so the
             # megakernel's own hint derivation would silently no-op —
-            # derive the static hyperplane zero-component hints from the
-            # CONCRETE scene here, once, and bake them into the configs.
-            hints = (
-                plane_norm_hints(scene)
-                if cfg.intersect == "fast" and cfg.plane_hints is None
-                else None
-            )
-            if hints is not None:
-                pairs = plane_pair_hints(scene, hints)
-                cfg = replace(cfg, plane_hints=hints, plane_pairs=pairs)
+            # derive the static hints (hyperplane zero components, wall
+            # pairs, axis alignment) from the CONCRETE scene here, once,
+            # and bake them into the configs.
+            updates = {}
+            if cfg.intersect == "fast" and cfg.plane_hints is None:
+                hints = plane_norm_hints(scene)
+                if hints is not None:
+                    updates["plane_hints"] = hints
+                    updates["plane_pairs"] = plane_pair_hints(scene, hints)
+            if cfg.intersect == "fast" and cfg.axis_hints is None:
+                ah = axis_alignment_hints(scene)
+                if ah is not None:
+                    updates["axis_hints"] = ah
+            if updates:
+                cfg = replace(cfg, **updates)
                 self.cfg = cfg
                 if additional is not None and additional[0].plane_hints is None:
                     additional = (
-                        replace(additional[0], plane_hints=hints,
-                                plane_pairs=pairs),
+                        replace(additional[0], **updates),
                         additional[1],
                     )
         else:

@@ -105,6 +105,11 @@ class RenderConfig:
     # pair as ONE candidate (one division + fold step instead of two).
     # Same production-only contract as plane_hints.
     plane_pairs: tuple | None = None
+    # Static axis-alignment hints for cylinder families / hypercube axes
+    # (models.scene.axis_alignment_hints): unit-basis axes collapse the
+    # projection dots to component picks. Same production-only contract
+    # as plane_hints (dropped terms would get zero gradients).
+    axis_hints: tuple | None = None
 
 
 def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):
@@ -187,6 +192,7 @@ def precompute_bounce0(
     inter = intersect_scene(
         scene, o, d, cfg.intersect,
         plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+        axis_hints=cfg.axis_hints,
     )
     zero3 = Vec3.full(0.0, like=jnp.zeros(d.x.shape, jnp.float32))
     result = zero3
@@ -296,6 +302,7 @@ def trace_rays(
         inter = intersect_scene(
             scene, o, d, cfg.intersect,
             plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+            axis_hints=cfg.axis_hints,
         )
 
         env_on = scene.environment is not None and scene.environment.enabled
@@ -389,13 +396,14 @@ def render_light_tile(
     and must be explicitly cast to device-varying for shard_map's
     replication checker (check_vma) to type the sample fori_loop.
     """
-    if cfg.plane_hints is not None or cfg.plane_pairs is not None:
-        # Hints zero out gradients w.r.t. the hinted normal components;
-        # they are an internal detail of the (forward-only) Pallas entry
+    if (cfg.plane_hints is not None or cfg.plane_pairs is not None
+            or cfg.axis_hints is not None):
+        # Hints zero out gradients w.r.t. the hinted components; they
+        # are an internal detail of the (forward-only) Pallas entry
         # point and must never reach the jnp/autodiff pipeline.
         raise ValueError(
-            "plane_hints/plane_pairs are Pallas-internal; the jnp renderer "
-            "(autodiff path) must run without hints"
+            "plane_hints/plane_pairs/axis_hints are Pallas-internal; the "
+            "jnp renderer (autodiff path) must run without hints"
         )
     if n_rows is None:
         n_rows = cfg.height

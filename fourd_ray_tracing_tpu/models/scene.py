@@ -141,8 +141,125 @@ def plane_pair_hints(scene: Scene, hints):
     return tuple(pairs), singles
 
 
+class AxisHints(NamedTuple):
+    """Static axis-alignment hints for the fast fold (axis_alignment_hints).
+
+    Every shipped composite scene builds its cylinders/hypercube from
+    EXACT unit basis vectors (scenes/*.frag), so the per-bounce
+    projection dots (dot(co, axis), ray_in_space subtractions,
+    shader.frag:252-258) collapse to component picks with the zero terms
+    statically dropped — the same forward-identical term-dropping as
+    plane_norm_hints, extended to the cylinder families and hypercube.
+    Each axis entry is (component_index, sign) or None (not aligned).
+
+    Production-forward only (dropped terms would carry zero gradients);
+    derived by the Pallas entry points / engine from the concrete scene
+    and threaded as a static jit argument via RenderConfig.axis_hints.
+    """
+
+    cylinders: tuple = ()        # per cylinder: ((k1,s1),(k2,s2)) or None
+    cylinders_union: tuple | None = None  # (fam1_axes, fam2_axes) or None
+    hypercube: tuple | None = None        # ((k,s),)*4 or None
+    tiger: tuple | None = None            # (famA_axes, famB_axes) or None
+
+
+def _unit_axis_of(v: Vec4):
+    """(component_index, sign) when v is EXACTLY a signed unit basis
+    vector (concrete values only), else None."""
+    import jax.core as jcore
+
+    comps = (v.x, v.y, v.z, v.w)
+    if any(isinstance(c, jcore.Tracer) for c in comps):
+        return None
+    vals = [float(np.asarray(c)) for c in comps]
+    nonzero = [(k, s) for k, s in enumerate(vals) if s != 0.0]
+    if len(nonzero) != 1 or abs(nonzero[0][1]) != 1.0:
+        return None
+    return (nonzero[0][0], nonzero[0][1])
+
+
+def _axis_pair(a1: Vec4, a2: Vec4):
+    h1, h2 = _unit_axis_of(a1), _unit_axis_of(a2)
+    if h1 is None or h2 is None or h1[0] == h2[0]:
+        return None
+    return (h1, h2)
+
+
+def axis_alignment_hints(scene: Scene):
+    """AxisHints for the scene's composite primitives, or None when
+    nothing is axis-aligned / values are traced (see AxisHints)."""
+    cyl_hints = tuple(
+        _axis_pair(c.axis1, c.axis2) for c in scene.cylinders
+    )
+    union_hints = None
+    if scene.cylinders_union is not None:
+        c1, c2 = scene.cylinders_union
+        p1, p2 = _axis_pair(c1.axis1, c1.axis2), _axis_pair(c2.axis1, c2.axis2)
+        if p1 is not None and p2 is not None:
+            union_hints = (p1, p2)
+    hc_hints = None
+    if scene.hypercube is not None and scene.hypercube.axes is not None:
+        hs = tuple(_unit_axis_of(a) for a in scene.hypercube.axes)
+        if all(h is not None for h in hs):
+            hc_hints = hs
+    tiger_hints = None
+    if scene.tiger is not None:
+        tg = scene.tiger
+        pa = _axis_pair(tg.inner_cyl1.axis1, tg.inner_cyl1.axis2)
+        pb = _axis_pair(tg.inner_cyl2.axis1, tg.inner_cyl2.axis2)
+        if pa is not None and pb is not None:
+            tiger_hints = (pa, pb)
+    hints = AxisHints(cyl_hints, union_hints, hc_hints, tiger_hints)
+    if (all(h is None for h in cyl_hints) and union_hints is None
+            and hc_hints is None and tiger_hints is None):
+        return None
+    return hints
+
+
+def _cyl_family_aligned(point: Vec4, pair, ray_o: Vec4, ray_d: Vec4):
+    """geo._cyl_family for a family whose two axes are signed unit basis
+    vectors ((k1,s1),(k2,s2)): the projections become component zeroing,
+    the dots sum only the two live components (bit-identical — the
+    dropped terms are exact float zeros in the full dots)."""
+    (k1, _s1), (k2, _s2) = pair
+    live = [j for j in range(4) if j not in (k1, k2)]
+    zero = jnp.zeros_like(ray_d.x)
+    co = [pc - oc for pc, oc in zip(point, ray_o)]
+    po_c = [zero if j in (k1, k2) else co[j] for j in range(4)]
+    d_c = list(ray_d)
+    d12_c = [zero if j in (k1, k2) else d_c[j] for j in range(4)]
+    a, b = live
+    l2 = co[a] * co[a] + co[b] * co[b] + 1e-37
+    b_raw = co[a] * d_c[a] + co[b] * d_c[b]
+    # len1_sq drops only k1 (first projection, shader.frag:252-254).
+    l1_live = [j for j in range(4) if j != k1]
+    len1_sq = sum(
+        (d_c[j] * d_c[j] for j in l1_live[1:]),
+        d_c[l1_live[0]] * d_c[l1_live[0]],
+    )
+    len12_sq = d_c[a] * d_c[a] + d_c[b] * d_c[b]
+    proj_ok = jnp.logical_and(len1_sq >= _SMALL2, len12_sq >= _SMALL2)
+    import jax as _jax
+
+    inv_len = _jax.lax.rsqrt(jnp.where(proj_ok, len12_sq, 1.0))
+    degenerate = l2 < _SMALL2
+    b_unit = jnp.where(degenerate, 0.0, b_raw * inv_len)
+    return geo._CylFamily(
+        Vec4(*po_c), Vec4(*d12_c), l2, b_raw,
+        len1_sq, len12_sq, inv_len, proj_ok,
+        b_unit, degenerate, l2 - b_unit * b_unit,
+    )
+
+
+def _make_family(point, axis1, axis2, pair, o, d):
+    if pair is None:
+        return geo._cyl_family(point, axis1, axis2, o, d)
+    return _cyl_family_aligned(point, pair, o, d)
+
+
 def intersect_scene_fast(
-    scene: Scene, ray_o: Vec4, ray_d: Vec4, plane_hints=None, plane_pairs=None
+    scene: Scene, ray_o: Vec4, ray_d: Vec4, plane_hints=None, plane_pairs=None,
+    axis_hints=None,
 ) -> geo.Intersection:
     """Fused closest-hit with identical semantics to `intersect_scene_spec`
     but restructured for TPU lanes (the production path of trace_rays):
@@ -354,8 +471,11 @@ def intersect_scene_fast(
 
         resolvers.append(resolve)
 
-    for cyl in scene.cylinders:
-        fam = geo._cyl_family(cyl.point, cyl.axis1, cyl.axis2, o, d)
+    ah = axis_hints if axis_hints is not None else AxisHints()
+
+    for k_cyl, cyl in enumerate(scene.cylinders):
+        pair = ah.cylinders[k_cyl] if k_cyl < len(ah.cylinders) else None
+        fam = _make_family(cyl.point, cyl.axis1, cyl.axis2, pair, o, d)
         dist_c, hit_c, use_near = geo._family_circle_dist(fam, cyl.r, True)
         add_family_face(fam, dist_c, hit_c, use_near, cyl.r, cyl.material)
 
@@ -363,8 +483,9 @@ def intersect_scene_fast(
         # Duocylinder: two faces, each clipped against the OTHER family's
         # radius — verbatim cyl2.r on both arms (shader.frag:290, C6i).
         c1, c2 = scene.cylinders_union
-        fam1 = geo._cyl_family(c1.point, c1.axis1, c1.axis2, o, d)
-        fam2 = geo._cyl_family(c2.point, c2.axis1, c2.axis2, o, d)
+        u1, u2 = ah.cylinders_union or (None, None)
+        fam1 = _make_family(c1.point, c1.axis1, c1.axis2, u1, o, d)
+        fam2 = _make_family(c2.point, c2.axis1, c2.axis2, u2, o, d)
         r2sq = c2.r * c2.r
         for fam, other, r, mat in (
             (fam1, fam2, c1.r, c1.material),
@@ -397,8 +518,13 @@ def intersect_scene_fast(
             # of two: 4 fold candidates, 4 resolvers. Values equal the
             # per-cell path on the selected (only possibly-hitting) cell.
             c, axes, r = hc.point, hc.axes, hc.r
-            co = [dot(c - o, a) for a in axes]
-            dd = [dot(d, a) for a in axes]
+            if ah.hypercube is not None:
+                # Axis-aligned cells: dot(c - o, ±e_k) = ±(c_k - o_k).
+                co = [s * (c[k] - o[k]) for k, s in ah.hypercube]
+                dd = [s * d[k] for k, s in ah.hypercube]
+            else:
+                co = [dot(c - o, a) for a in axes]
+                dd = [dot(d, a) for a in axes]
             for i in range(4):
                 pos = dd[i] <= 0.0  # +cell is the facing one
                 h = jnp.where(pos, -(co[i] + r), co[i] - r)
@@ -442,11 +568,14 @@ def intersect_scene_fast(
         # faces (geo._family_circle), in the reference's face order
         # (shader.frag:328-335).
         tg = scene.tiger
-        fam_a = geo._cyl_family(
-            tg.inner_cyl1.point, tg.inner_cyl1.axis1, tg.inner_cyl1.axis2, o, d
+        ta, tb = ah.tiger or (None, None)
+        fam_a = _make_family(
+            tg.inner_cyl1.point, tg.inner_cyl1.axis1, tg.inner_cyl1.axis2,
+            ta, o, d,
         )
-        fam_b = geo._cyl_family(
-            tg.inner_cyl2.point, tg.inner_cyl2.axis1, tg.inner_cyl2.axis2, o, d
+        fam_b = _make_family(
+            tg.inner_cyl2.point, tg.inner_cyl2.axis1, tg.inner_cyl2.axis2,
+            tb, o, d,
         )
         for fam, other, r_in, r_out, o_in, o_out, mat in (
             (fam_a, fam_b, tg.inner_cyl1.r, tg.outer_cyl1.r,
@@ -541,20 +670,21 @@ def intersect_scene_spec(
 
 def intersect_scene(
     scene: Scene, ray_o: Vec4, ray_d: Vec4, mode: str = "fast",
-    plane_hints=None, plane_pairs=None,
+    plane_hints=None, plane_pairs=None, axis_hints=None,
 ) -> geo.Intersection:
     """Dispatch: "fast" (production, fused fold), "spec" (literal
     per-primitive fold, the executable spec the fast path is tested
     against) or "trig" (spec with the reference's literal trigonometric
     sphere solution — the oracle-parity configuration). ``plane_hints`` /
-    ``plane_pairs`` (fast mode only): static hints from
-    `plane_norm_hints` / `plane_pair_hints`."""
+    ``plane_pairs`` / ``axis_hints`` (fast mode only): static hints from
+    `plane_norm_hints` / `plane_pair_hints` / `axis_alignment_hints`."""
     if mode == "spec":
         return intersect_scene_spec(scene, ray_o, ray_d)
     if mode == "trig":
         return intersect_scene_spec(scene, ray_o, ray_d, trig=True)
     return intersect_scene_fast(
-        scene, ray_o, ray_d, plane_hints=plane_hints, plane_pairs=plane_pairs
+        scene, ray_o, ray_d, plane_hints=plane_hints, plane_pairs=plane_pairs,
+        axis_hints=axis_hints,
     )
 
 

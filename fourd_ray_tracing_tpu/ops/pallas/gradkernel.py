@@ -203,10 +203,11 @@ def _check_cfg(cfg: RenderConfig) -> None:
         raise ValueError(
             "the value-and-grad megakernel renders per-sample RNG streams"
         )
-    if cfg.plane_hints is not None or cfg.plane_pairs is not None:
+    if (cfg.plane_hints is not None or cfg.plane_pairs is not None
+            or cfg.axis_hints is not None):
         raise ValueError(
-            "plane hints zero out normal-component gradients; the "
-            "value-and-grad kernel must run without hints"
+            "static scene hints zero out the hinted components' "
+            "gradients; the value-and-grad kernel must run without hints"
         )
 
 

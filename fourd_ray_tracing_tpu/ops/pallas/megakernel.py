@@ -61,6 +61,7 @@ from fourd_ray_tracing_tpu.models.renderer import (
 )
 from fourd_ray_tracing_tpu.models.scene import (
     Scene,
+    axis_alignment_hints,
     intersect_scene,
     plane_norm_hints,
     plane_pair_hints,
@@ -145,6 +146,7 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
             inter = intersect_scene(
                 scene, o, d, cfg.intersect,
                 plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+                axis_hints=cfg.axis_hints,
             )
 
         if scene.environment is not None and scene.environment.enabled:
@@ -189,6 +191,7 @@ def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
             inter = intersect_scene(
                 scene, o, d, cfg.intersect,
                 plane_hints=cfg.plane_hints, plane_pairs=cfg.plane_pairs,
+                axis_hints=cfg.axis_hints,
             )
         if scene.environment is not None and scene.environment.enabled:
             escaped = jnp.logical_and(alive, jnp.logical_not(inter.hit))
@@ -388,6 +391,10 @@ def render_light_pallas(
                 cfg, plane_hints=hints,
                 plane_pairs=plane_pair_hints(scene, hints),
             )
+    if cfg.intersect == "fast" and cfg.axis_hints is None:
+        ah = axis_alignment_hints(scene)
+        if ah is not None:
+            cfg = dataclasses.replace(cfg, axis_hints=ah)
     return _render_light_pallas_jit(scene, camera, cfg, seed, interpret)
 
 

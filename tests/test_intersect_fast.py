@@ -237,3 +237,58 @@ def test_hypercube_fast_without_generator_params(rng_np):
     a = geo.hypercube_intersection_fast(bare, o, d)
     b = geo.hypercube_intersection(hc, o, d)
     np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+
+
+@pytest.mark.parametrize("scene_name", ["tiger", "duocylinder", "hypercube"])
+def test_axis_hints_bit_identical(scene_name, rng_np):
+    """Static axis-alignment hints (axis_alignment_hints + the aligned
+    cylinder-family/hypercube candidates) must be BIT-identical to the
+    unhinted fold: the dropped dot-product terms are exact float zeros."""
+    from fourd_ray_tracing_tpu.models.scene import axis_alignment_hints
+
+    scene = library.SCENES[scene_name]()
+    hints = axis_alignment_hints(scene)
+    assert hints is not None  # every shipped composite scene is aligned
+
+    o_np = rng_np.uniform(-4, 4, size=(4096, 4)).astype(np.float32)
+    d_np = rng_np.normal(size=(4096, 4)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec4.unstack(jnp.asarray(o_np))
+    d = Vec4.unstack(jnp.asarray(d_np.astype(np.float32)))
+
+    a = intersect_scene_fast(scene, o, d)
+    b = intersect_scene_fast(scene, o, d, axis_hints=hints)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.dist), np.asarray(b.dist))
+    for ca, cb in zip(a.norm, b.norm):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(a.glow), np.asarray(b.glow))
+    for ca, cb in zip(a.color, b.color):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_axis_hints_derivation_cases():
+    from fourd_ray_tracing_tpu.models.scene import (
+        Scene,
+        axis_alignment_hints,
+        cylinder,
+        material,
+    )
+
+    # Aligned cylinder -> per-component hints.
+    mat = material(0, 0, (1, 1, 1))
+    s = Scene(cylinders=(
+        cylinder((0, 0, 0, 0), (0, 0, -1, 0), (0, 0, 0, 1), 1.0, mat),))
+    h = axis_alignment_hints(s)
+    assert h.cylinders == (((2, -1.0), (3, 1.0)),)
+
+    # Rotated axes -> not aligned -> None.
+    r2 = 0.7071067811865476
+    s2 = Scene(cylinders=(
+        cylinder((0, 0, 0, 0), (0, 0, r2, r2), (0, 0, -r2, r2), 1.0, mat),))
+    assert axis_alignment_hints(s2) is None
+
+    # Two axes on the SAME component (degenerate): not aligned.
+    s3 = Scene(cylinders=(
+        cylinder((0, 0, 0, 0), (0, 0, 1, 0), (0, 0, 1, 0), 1.0, mat),))
+    assert axis_alignment_hints(s3) is None
