@@ -415,13 +415,16 @@ def main():
         int(os.environ.get("BENCH_GRAD_XLA_WIDTH", 640)),
         int(os.environ.get("BENCH_GRAD_XLA_HEIGHT", 360)),
     )
-    # The interactive-scale workload batches 32 whole frames per launch
+    # The interactive-scale workload batches 128 whole frames per launch
     # (engine.step_frames / the megakernel grid frame axis): one 65K-ray
     # frame per dispatch is launch-overhead-bound, which is the wrong
     # thing to measure for an idle progressive-accumulation viewer.
+    # 128 (~8.4M rays/launch) also rides out the tunnel's dispatch-
+    # latency phases that a 32-frame launch still feels (measured
+    # 140 -> 513 Mray/s in a high-latency phase, flat in a good one).
     run_forward_workload(
         "sphere_plane_light_256", "sphere_plane_light", 256, 256, 1, 2,
-        frames_per_launch=int(os.environ.get("BENCH_FRAMES_PER_LAUNCH", 32)))
+        frames_per_launch=int(os.environ.get("BENCH_FRAMES_PER_LAUNCH", 128)))
     headline = run_forward_workload(
         "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES, BOUNCES)
     run_forward_workload(
