@@ -425,20 +425,28 @@ def main():
     run_forward_workload(
         "sphere_plane_light_256", "sphere_plane_light", 256, 256, 1, 2,
         frames_per_launch=int(os.environ.get("BENCH_FRAMES_PER_LAUNCH", 128)))
+    # Heavy workloads batch 4 accumulation frames per launch too
+    # (bit-identical per frame, disclosed via frames_per_launch): ~30M
+    # rays per dispatch keeps the measurement on the KERNEL even during
+    # the tunnel's multi-ms dispatch-latency phases. BENCH_HEAVY_FPL=1
+    # restores single-frame launches.
+    hfpl = int(os.environ.get("BENCH_HEAVY_FPL", 4))
     headline = run_forward_workload(
-        "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES, BOUNCES)
+        "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES,
+        BOUNCES, frames_per_launch=hfpl)
     run_forward_workload(
-        "hypercube_1280x720x8x4", "hypercube", WIDTH, HEIGHT, SAMPLES, BOUNCES)
+        "hypercube_1280x720x8x4", "hypercube", WIDTH, HEIGHT, SAMPLES,
+        BOUNCES, frames_per_launch=hfpl)
     # Three-view workloads also run unrolled: the direct candidate fold
     # shrank the tiger kernel enough that the unrolled Mosaic compile
     # dropped from 10+ minutes (round 1) to seconds, and unroll is ~3%
     # faster steady-state than fori.
     run_forward_workload(
         "duocylinder_3view", "duocylinder", WIDTH, HEIGHT, SAMPLES, BOUNCES,
-        views=cam.VIEWS_ALL)
+        views=cam.VIEWS_ALL, frames_per_launch=hfpl)
     run_forward_workload(
         "tiger_3view", "tiger", WIDTH, HEIGHT, SAMPLES, BOUNCES,
-        views=cam.VIEWS_ALL)
+        views=cam.VIEWS_ALL, frames_per_launch=hfpl)
     grad_impl = "pallas" if IMPL == "pallas" else "xla"
     run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES,
                       impl=grad_impl)
