@@ -255,13 +255,18 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
     target = jnp.zeros((height, width, 3), jnp.float32)
 
     if impl == "pallas":
+        from fourd_ray_tracing_tpu.diff import with_frozen_hints
         from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
             render_loss_and_grad_pallas,
         )
 
+        # Production training path: the forward's static wall/axis hints
+        # under the freeze_hints contract (normals/hinted axes frozen,
+        # everything else exact — RenderConfig.freeze_hints).
+        kcfg = with_frozen_hints(cfg, scene)
         vg = jax.jit(
             lambda seed: render_loss_and_grad_pallas(
-                scene, camera, cfg, seed, target
+                scene, camera, kcfg, seed, target
             )
         )
 
@@ -295,8 +300,14 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
     }
     fpr = grad_flops_per_ray(cfg)
     if fpr is not None:
+        # FLOPs/ray comes from XLA's cost analysis of the jnp
+        # value-and-grad PIPELINE; the Pallas kernel executes a different
+        # op mix (forward + per-sample vjp), so the grad-line mfu is an
+        # estimate against that flop model, not a kernel measurement —
+        # flagged via flop_model (ADVICE r3 #1).
         payload["flops_per_ray"] = round(fpr, 1)
         payload["achieved_gflops"] = round(med * fpr / 1e9, 1)
+        payload["flop_model"] = "jnp_pipeline_estimate"
         if VPU_PEAK_GFLOPS > 0:
             payload["mfu"] = round(med * fpr / 1e9 / VPU_PEAK_GFLOPS, 3)
             payload["vpu_peak_gflops"] = VPU_PEAK_GFLOPS
@@ -312,7 +323,7 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
     eagerly-dispatched value_and_grad call."""
     import optax
 
-    from fourd_ray_tracing_tpu.diff import pallas_image_loss
+    from fourd_ray_tracing_tpu.diff import pallas_image_loss, with_frozen_hints
 
     cfg = RenderConfig(
         width=width, height=height, samples=samples,
@@ -321,6 +332,7 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
         tile_sublanes=TILE_SUBLANES,
     )
     scene0 = library.SCENES["room_with_sphere"]()
+    cfg = with_frozen_hints(cfg, scene0)
     camera = default_camera()
     target = jnp.zeros((height, width, 3), jnp.float32)
     opt = optax.adam(1e-3)

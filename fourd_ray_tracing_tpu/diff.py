@@ -347,6 +347,41 @@ def soft_image_loss(
 # (gradients become residuals), the backward just scales them by the
 # incoming cotangent — one kernel launch per train step.
 
+
+def with_frozen_hints(cfg: RenderConfig, scene: Scene) -> RenderConfig:
+    """Derive the production forward's static hints from a CONCRETE scene
+    and enable the grad kernel's freeze_hints contract on them.
+
+    The returned cfg makes `pallas_image_loss` / `make_train_step`
+    (impl="pallas") run the value-and-grad kernel with the same hinted
+    wall/axis folds as the forward megakernel — loss bit-identical, all
+    gradients exact EXCEPT hyperplane normals and hinted axis vectors,
+    which are frozen to zero (RenderConfig.freeze_hints). Call it once,
+    outside jit, before building the train step (hints are static jit
+    arguments; inside jit the scene is a tracer and nothing can be
+    derived).
+    """
+    from fourd_ray_tracing_tpu.models.scene import (
+        axis_alignment_hints,
+        plane_norm_hints,
+        plane_pair_hints,
+    )
+
+    cfg = dataclasses.replace(cfg, freeze_hints=True)
+    if cfg.intersect != "fast":
+        return cfg
+    if cfg.plane_hints is None:
+        hints = plane_norm_hints(scene)
+        if hints is not None:
+            cfg = dataclasses.replace(
+                cfg, plane_hints=hints, plane_pairs=plane_pair_hints(scene, hints)
+            )
+    if cfg.axis_hints is None:
+        ah = axis_alignment_hints(scene)
+        if ah is not None:
+            cfg = dataclasses.replace(cfg, axis_hints=ah)
+    return cfg
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def pallas_image_loss(
     scene: Scene, camera: Camera, cfg: RenderConfig, seed, target

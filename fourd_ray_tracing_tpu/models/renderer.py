@@ -110,6 +110,18 @@ class RenderConfig:
     # projection dots to component picks. Same production-only contract
     # as plane_hints (dropped terms would get zero gradients).
     axis_hints: tuple | None = None
+    # Gradient-safe hint mode for the value-and-grad megakernel: when
+    # True, the grad kernel accepts plane_hints/plane_pairs/axis_hints
+    # (forward values stay bit-identical — the dropped terms are exact
+    # float32 zeros) under the documented contract that gradients w.r.t.
+    # every hyperplane NORMAL and every hinted AXIS vector are *defined
+    # zero* (enforced by models.scene.freeze_hint_grads after the kernel,
+    # exactly like diff.make_train_step's param_filter freezes params).
+    # All other gradients (positions, radii, materials, camera) remain
+    # exact: the dropped multiply-adds have exactly-zero coefficients, so
+    # their cotangents w.r.t. the remaining parameters are unchanged.
+    # Use diff.with_frozen_hints(cfg, scene) to derive + enable.
+    freeze_hints: bool = False
 
 
 def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):

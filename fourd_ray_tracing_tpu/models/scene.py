@@ -216,6 +216,61 @@ def axis_alignment_hints(scene: Scene):
     return hints
 
 
+def freeze_hint_grads(grads: "Scene", plane_hints, axis_hints) -> "Scene":
+    """Zero the gradient leaves frozen by RenderConfig.freeze_hints.
+
+    Contract (see RenderConfig.freeze_hints): under static hints the
+    value-and-grad megakernel's gradients are EXACT for every parameter
+    except (a) hyperplane normals — the pair fold (plane_pair_hints)
+    reparameterizes the wall math so normal cotangents are not those of
+    the unhinted fold — and (b) the axis vectors of hinted composite
+    primitives, whose projection terms were statically dropped. Those
+    parameters are *declared frozen*: this helper zeroes their gradient
+    leaves so optimizers can never follow a hint-distorted direction.
+    ``grads`` is a Scene-structured gradient pytree.
+    """
+
+    def zvec(v: Vec4) -> Vec4:
+        return Vec4(*(jnp.zeros_like(c) for c in v))
+
+    if plane_hints is not None and grads.spaces:
+        grads = grads._replace(
+            spaces=tuple(sp._replace(norm=zvec(sp.norm)) for sp in grads.spaces)
+        )
+    ah = axis_hints
+    if ah is not None:
+        def zcyl(c: geo.CylinderSpec) -> geo.CylinderSpec:
+            return c._replace(axis1=zvec(c.axis1), axis2=zvec(c.axis2))
+
+        if grads.cylinders and any(h is not None for h in ah.cylinders):
+            grads = grads._replace(
+                cylinders=tuple(
+                    zcyl(c) if k < len(ah.cylinders) and ah.cylinders[k] is not None
+                    else c
+                    for k, c in enumerate(grads.cylinders)
+                )
+            )
+        if grads.cylinders_union is not None and ah.cylinders_union is not None:
+            c1, c2 = grads.cylinders_union
+            grads = grads._replace(cylinders_union=(zcyl(c1), zcyl(c2)))
+        if grads.hypercube is not None and ah.hypercube is not None:
+            hc = grads.hypercube
+            grads = grads._replace(
+                hypercube=hc._replace(axes=tuple(zvec(a) for a in hc.axes))
+            )
+        if grads.tiger is not None and ah.tiger is not None:
+            tg = grads.tiger
+            grads = grads._replace(
+                tiger=tg._replace(
+                    inner_cyl1=zcyl(tg.inner_cyl1),
+                    outer_cyl1=zcyl(tg.outer_cyl1),
+                    inner_cyl2=zcyl(tg.inner_cyl2),
+                    outer_cyl2=zcyl(tg.outer_cyl2),
+                )
+            )
+    return grads
+
+
 def _cyl_family_aligned(point: Vec4, pair, ray_o: Vec4, ray_d: Vec4):
     """geo._cyl_family for a family whose two axes are signed unit basis
     vectors ((k1,s1),(k2,s2)): the projections become component zeroing,

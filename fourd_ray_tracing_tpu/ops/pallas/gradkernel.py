@@ -33,9 +33,15 @@ Cost: forward + (forward + transpose) per sample ~= 3-4x the forward
 kernel, all VPU/VMEM-resident — vs the jnp pipeline's HBM-bound
 scan-over-samples backward.
 
-No plane hints here: hinted-zero normal components would get zero
-gradients (models/scene.py:plane_norm_hints contract), so the kernel
-always folds full 4-component dots.
+Static hints: by default the kernel refuses plane/pair/axis hints
+(hint-dropped terms would distort those components' gradients). With
+``RenderConfig.freeze_hints`` it instead runs the SAME hinted folds as
+the production forward (bit-identical loss — the dropped terms are exact
+float32 zeros) under the contract that hyperplane-normal and hinted-axis
+gradients are defined zero (models.scene.freeze_hint_grads); every other
+gradient stays exact. That recovers the forward's fold cost for training
+runs that don't rotate walls — the wall fold is the dominant per-bounce
+cost on closed scenes.
 """
 from __future__ import annotations
 
@@ -194,7 +200,13 @@ def render_loss_and_grad_pallas(
     estimator, same RNG streams) up to float re-association; the
     per-parameter gradients reduce per tile in-kernel and sum over tiles
     here.
+
+    With ``cfg.freeze_hints`` the kernel runs the forward's static
+    plane/pair/axis hints (bit-identical loss) and zeroes the frozen
+    parameters' gradients (RenderConfig.freeze_hints contract); hints are
+    auto-derived here when the scene is concrete.
     """
+    cfg = _auto_hints(scene, cfg)
     return _render_loss_and_grad_jit(scene, camera, cfg, seed, target, interpret)
 
 
@@ -204,11 +216,53 @@ def _check_cfg(cfg: RenderConfig) -> None:
             "the value-and-grad megakernel renders per-sample RNG streams"
         )
     if (cfg.plane_hints is not None or cfg.plane_pairs is not None
-            or cfg.axis_hints is not None):
+            or cfg.axis_hints is not None) and not cfg.freeze_hints:
         raise ValueError(
-            "static scene hints zero out the hinted components' "
-            "gradients; the value-and-grad kernel must run without hints"
+            "static scene hints distort the hinted components' gradients; "
+            "the value-and-grad kernel runs them only under the "
+            "freeze_hints contract (RenderConfig.freeze_hints: hyperplane "
+            "normals and hinted axes get zero gradients, everything else "
+            "stays exact) — see diff.with_frozen_hints"
         )
+
+
+def _auto_hints(scene: Scene, cfg: RenderConfig) -> RenderConfig:
+    """Derive static hints for an eager (concrete-scene) freeze_hints
+    call, mirroring megakernel.render_light_pallas's production entry.
+    No-op under jit (tracer scene -> hint derivation returns None) — the
+    train-step path threads hints statically via diff.with_frozen_hints."""
+    import dataclasses
+
+    from fourd_ray_tracing_tpu.models.scene import (
+        axis_alignment_hints,
+        plane_norm_hints,
+        plane_pair_hints,
+    )
+
+    if not (cfg.freeze_hints and cfg.intersect == "fast"):
+        return cfg
+    if cfg.plane_hints is None:
+        hints = plane_norm_hints(scene)
+        if hints is not None:
+            cfg = dataclasses.replace(
+                cfg, plane_hints=hints,
+                plane_pairs=plane_pair_hints(scene, hints),
+            )
+    if cfg.axis_hints is None:
+        ah = axis_alignment_hints(scene)
+        if ah is not None:
+            cfg = dataclasses.replace(cfg, axis_hints=ah)
+    return cfg
+
+
+def _freeze_grads(grads, cfg: RenderConfig):
+    """Apply the freeze_hints contract to a (scene, camera) grad pair."""
+    if not cfg.freeze_hints:
+        return grads
+    from fourd_ray_tracing_tpu.models.scene import freeze_hint_grads
+
+    g_scene, g_cam = grads
+    return freeze_hint_grads(g_scene, cfg.plane_hints, cfg.axis_hints), g_cam
 
 
 def _target_tiles(target, total: int, n_tiles: int, sublanes: int):
@@ -292,7 +346,7 @@ def _render_loss_and_grad_jit(
     scale = np.float32(1.0 / (total * 3))
     loss = jnp.sum(loss_parts) * scale
     g_packed = jnp.sum(grad_parts, axis=0) * scale
-    grads = rebuild(g_packed)
+    grads = _freeze_grads(rebuild(g_packed), cfg)
     return loss, grads
 
 
@@ -312,7 +366,11 @@ def sharded_loss_and_grad_pallas(
     single-device kernel up to reduction order. The tile count pads up to
     a multiple of the device count; padding tiles have every lane masked
     invalid and contribute exact zeros.
+
+    ``cfg.freeze_hints`` works exactly as in the single-device entry
+    (hints auto-derived for a concrete scene, frozen grads zeroed).
     """
+    cfg = _auto_hints(scene, cfg)
     _check_cfg(cfg)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -364,4 +422,4 @@ def sharded_loss_and_grad_pallas(
     )(packed, jnp.asarray(seed, jnp.uint32), t_tiles)
 
     scale = np.float32(1.0 / (total * 3))
-    return loss * scale, rebuild(g_packed * scale)
+    return loss * scale, _freeze_grads(rebuild(g_packed * scale), cfg)

@@ -91,6 +91,44 @@ def test_gradkernel_rejects_hints():
         render_loss_and_grad_pallas(scene, default_camera(), cfg, 1, target)
 
 
+@pytest.mark.parametrize("scene_name", ["room_with_sphere", "duocylinder"])
+@pytest.mark.slow
+def test_gradkernel_frozen_hints_matches_jnp(scene_name):
+    """freeze_hints mode: loss equals the unhinted kernel/jnp loss
+    bit-for-all-practical-purposes, frozen leaves (space norms, hinted
+    axes) come out exactly zero, and every OTHER gradient matches the
+    unhinted jnp autodiff to the usual tolerance."""
+    from fourd_ray_tracing_tpu.diff import with_frozen_hints
+    from fourd_ray_tracing_tpu.models.scene import freeze_hint_grads
+
+    scene = library.SCENES[scene_name]()
+    camera = default_camera()
+    target = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (CFG.height, CFG.width, 3)),
+        jnp.float32,
+    )
+    cfg = with_frozen_hints(CFG, scene)
+    assert cfg.plane_hints is not None or cfg.axis_hints is not None
+
+    loss_k, (gs_k, _gc_k) = render_loss_and_grad_pallas(
+        scene, camera, cfg, 5, target
+    )
+    loss_j, gs_j = jax.value_and_grad(image_loss)(scene, camera, CFG, 5, target)
+    np.testing.assert_allclose(float(loss_k), float(loss_j), rtol=2e-4)
+
+    # Frozen leaves are exactly zero...
+    for sp in gs_k.spaces:
+        assert all(float(np.abs(np.asarray(c)).max()) == 0.0 for c in sp.norm)
+    # ...and the remaining gradients match jnp-with-the-same-freeze.
+    gs_j_frozen = freeze_hint_grads(gs_j, cfg.plane_hints, cfg.axis_hints)
+    gk = _flat_grads(gs_k)
+    gj = _flat_grads(gs_j_frozen)
+    scale = np.maximum(np.abs(gj), 1e-3 * np.abs(gj).max() + 1e-8)
+    rel = np.abs(gk - gj) / scale
+    assert rel.max() < 5e-2, f"max rel err {rel.max():.3g}"
+    assert np.abs(gj).max() > 1e-6
+
+
 @pytest.mark.slow
 def test_pallas_image_loss_custom_vjp():
     """jax.value_and_grad through pallas_image_loss: one kernel launch
