@@ -28,10 +28,13 @@ GFLOP/s; the workload streams ~nothing from HBM (scene in SMEM, image
 written once), so arithmetic intensity is effectively infinite and the
 kernel is VPU-compute-bound. Every line also reports `mfu` = achieved /
 DEFAULT_VPU_PEAK_GFLOPS, the chip's MEASURED sustained fp32 fma peak
-(tools/vpu_peak.py; BENCH_VPU_PEAK_GFLOPS overrides). Note the honest
-denominator: XLA counts USEFUL flops only, so masked-dead lanes
-(terminated rays) and transcendental-heavy sampler code depress MFU —
-it is a utilization floor, not a quality ceiling.
+(tools/vpu_peak.py — fetch-timed Pallas chains; the pre-round-4 15 429.5
+figure was a dispatch-paced artifact and every earlier mfu was ~3x
+understated; BENCH_VPU_PEAK_GFLOPS overrides). The numerator counts
+USEFUL flops only (XLA cost model): masked-dead lanes, selects/masks,
+and integer RNG ops occupy VPU issue slots but are not flops, which is
+exactly the heavy-scene gap tools/fwd_ablate.py attributes (README
+"Where the room kernel's time goes").
 
 BENCH_MODE=single preserves the old env-knob behavior (used by
 tools/ab_bench.py): one workload from BENCH_{SCENE,WIDTH,...}, one line.
@@ -82,7 +85,7 @@ SAMPLER_ITERS = int(os.environ.get("BENCH_SAMPLER_ITERS", 2))
 # Sustained fp32 VPU peak of THIS chip, measured by tools/vpu_peak.py
 # (saturating fma chain; re-run with --update after a hardware change).
 # Every bench line divides its achieved GFLOP/s by this to report `mfu`.
-DEFAULT_VPU_PEAK_GFLOPS = 15429.5
+DEFAULT_VPU_PEAK_GFLOPS = 5101.0
 VPU_PEAK_GFLOPS = float(
     os.environ.get("BENCH_VPU_PEAK_GFLOPS", DEFAULT_VPU_PEAK_GFLOPS)
 )
@@ -181,15 +184,27 @@ def flops_per_ray(scene_name, cfg, views=("yxz",)):
         return None
 
 
+def _sync(out):
+    """Force completion of ``out`` by fetching ONE element to the host.
+
+    jax.block_until_ready was caught under-waiting on the tunneled axon
+    backend for small-grid kernels (tools/vpu_peak.py docstring); on the
+    big-grid megakernel workloads it agrees with a scalar fetch to 0.2%,
+    but every timing round ends with this hard synchronization anyway.
+    The fetch moves 4 bytes (a device-side slice), not the image."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def time_rounds(fn, rays, frames=FRAMES, rounds=ROUNDS):
     """min/median/max rays/s over timing rounds (compile excluded)."""
-    jax.block_until_ready(fn(np.uint32(1)))  # compile + warm
+    _sync(fn(np.uint32(1)))  # compile + warm
     rates = []
     for r in range(rounds):
         t0 = time.perf_counter()
         for i in range(frames):
             out = fn(np.uint32(100 * r + i + 2))
-        jax.block_until_ready(out)
+        _sync(out)
         rates.append(rays * frames / (time.perf_counter() - t0))
     return min(rates), statistics.median(rates), max(rates)
 
@@ -290,7 +305,10 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
     rays = width * height * samples
     loss = jax.block_until_ready(fn(np.uint32(1)))
     assert bool(jnp.isfinite(loss)), "non-finite loss in grad bench"
-    lo, med, hi = time_rounds(fn, rays, frames=max(1, FRAMES // 4))
+    # Queue FRAMES dispatches per round (not FRAMES//4): the eager grad
+    # step is one kernel launch per call, and a shallow pipeline measures
+    # the tunnel's multi-ms dispatch latency instead of the kernel.
+    lo, med, hi = time_rounds(fn, rays, frames=FRAMES)
     payload = {
         "metric": "grad_rays_per_second", "workload": workload,
         "scene": "room_with_sphere", "impl": impl,
@@ -446,6 +464,14 @@ def main():
     headline = run_forward_workload(
         "room_1280x720x8x4", "room_with_sphere", WIDTH, HEIGHT, SAMPLES,
         BOUNCES, frames_per_launch=hfpl)
+    if hfpl != 1:
+        # Single-frame-per-launch companion line (ADVICE r3 #4): keeps
+        # cross-round comparisons vs the rounds-1/2 unbatched baselines
+        # apples-to-apples; the delta vs the batched line is the
+        # per-dispatch overhead, not kernel speed.
+        run_forward_workload(
+            "room_fpl1", "room_with_sphere", WIDTH, HEIGHT, SAMPLES,
+            BOUNCES, frames_per_launch=1)
     run_forward_workload(
         "hypercube_1280x720x8x4", "hypercube", WIDTH, HEIGHT, SAMPLES,
         BOUNCES, frames_per_launch=hfpl)

@@ -91,8 +91,18 @@ class RenderConfig:
     # Larger tiles amortize per-program overhead (scene unpack from SMEM,
     # grid bookkeeping) over more pixels at the cost of VMEM registers;
     # 32 measured fastest on TPU v5e (bench.py sweep: 8->337, 16->488,
-    # 32->526, 64->495 Mray/s on room-with-sphere 1280x720x8sppx4b).
+    # 32->526, 64->495 Mray/s on room-with-sphere 1280x720x8sppx4b;
+    # re-confirmed round 4: 8->0.99, 16->1.35, 32->1.58, 64->1.39 Gray/s).
     tile_sublanes: int = 32
+    # Pixel tiles rendered SEQUENTIALLY by one grid program (bit-identical
+    # for any value — pixel coords/RNG derive from the global tile index).
+    # Measured NEUTRAL-to-slightly-worse on v5e (room headline, T=1/2/4/
+    # 8/16 -> 1.59/1.52/1.56/1.54/1.51 Gray/s): the per-program scene
+    # unpack is NOT a recoverable overhead — the tile_sublanes=8 -> 32
+    # gain comes from intra-op latency hiding (each (32,128) op issues 4
+    # vreg-ops back-to-back), not from amortizing program setup. Kept as
+    # an ablation switch (tools/fwd_ablate.py); production default 1.
+    tiles_per_program: int = 1
     # Static zero-component hints for hyperplane normals (fast intersect
     # only): tuple of per-space (zx, zy, zz, zw) bools from
     # models.scene.plane_norm_hints, or None. Forward-identical (skipped

@@ -300,64 +300,76 @@ def _tile_camera(camera, view, n_views: int, tile_zero):
 def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
             n_views: int, height: int, width: int):
     scene, camera = rebuild(params_ref)
-    # Grid = (frames, tiles): the frame axis batches whole accumulation
-    # frames (distinct seeds) into ONE dispatch, amortizing launch
-    # overhead on interactive-scale images (VERDICT r2 #3); each frame
-    # program just reads its own seed.
+    # Grid = (frames, tile groups): the frame axis batches whole
+    # accumulation frames (distinct seeds) into ONE dispatch, amortizing
+    # launch overhead on interactive-scale images (VERDICT r2 #3); each
+    # frame program just reads its own seed. Each grid program renders
+    # cfg.tiles_per_program tiles sequentially, amortizing the scene
+    # unpack + per-program bookkeeping (see RenderConfig.tiles_per_program)
+    # over T tiles while the live vector state stays one tile wide.
     seed = seed_ref[pl.program_id(0)].astype(jnp.uint32)
 
     sublanes = cfg.tile_sublanes
-    pid = pl.program_id(1)
-    scr_x, scr_y, view, _valid = _tile_pixels(cfg, n_views, height, width, pid)
-    tile_zero = jnp.zeros((sublanes, LANES), jnp.float32)
-    top, right, vec_to_mtr, focus = _tile_camera(camera, view, n_views, tile_zero)
-
-    mx = (scr_x - 0.5) * camera.mtr_width
-    my = (0.5 - scr_y) * camera.mtr_height
-    d = normalize(vec_to_mtr + top * my + right * mx)
-
-    pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
-    counter0 = rng.init_counter(seed, pixel_bits.shape)
-    zero3 = Vec3.full(0.0, like=scr_x * 0.0)
-
-    # Both loop modes share one bounce body (_trace_rays_kernel);
-    # "unroll" just unrolls it at trace time.
-    trace = functools.partial(
-        _trace_rays_kernel, unroll=cfg.bounce_loop != "fori"
-    )
-    # Sample-invariant bounce-0 intersection AND shading, hoisted out of
-    # the sample loop (all samples share the primary ray,
-    # shader.frag:519) — paid once per pixel instead of once per sample.
-    pre0 = precompute_bounce0(scene, focus, d, cfg)
-
-    if cfg.rng_mode == "sequential":
-        # The reference's per-pixel stream carried ACROSS the sample loop
-        # (shader.frag:92): bit-parity mode at production speed — within
-        # a tile each lane's samples are sequential anyway, so the
-        # counter simply rides the fori carry. Sample-axis sharding is
-        # impossible in this mode (the jnp renderer enforces the same).
-        def sample_body(s, state):
-            acc, counter = state
-            light, counter = trace(
-                scene, focus, d, pixel_bits, seed, counter, cfg, pre0=pre0
-            )
-            return acc + light, counter
-
-        acc, _ = jax.lax.fori_loop(
-            0, cfg.samples, sample_body, (zero3, counter0)
+    tpp = cfg.tiles_per_program
+    for j in range(tpp):
+        pid = pl.program_id(1) * tpp + j
+        scr_x, scr_y, view, _valid = _tile_pixels(
+            cfg, n_views, height, width, pid
         )
-    else:
+        tile_zero = jnp.zeros((sublanes, LANES), jnp.float32)
+        top, right, vec_to_mtr, focus = _tile_camera(
+            camera, view, n_views, tile_zero
+        )
 
-        def sample_body(s, acc):
-            bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
-            light, _ = trace(scene, focus, d, bits, seed, counter0, cfg, pre0=pre0)
-            return acc + light
+        mx = (scr_x - 0.5) * camera.mtr_width
+        my = (0.5 - scr_y) * camera.mtr_height
+        d = normalize(vec_to_mtr + top * my + right * mx)
 
-        acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)
-    inv = 1.0 / jnp.float32(cfg.samples)
-    out_ref[0, 0, 0] = acc.x * inv
-    out_ref[0, 0, 1] = acc.y * inv
-    out_ref[0, 0, 2] = acc.z * inv
+        pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
+        counter0 = rng.init_counter(seed, pixel_bits.shape)
+        zero3 = Vec3.full(0.0, like=scr_x * 0.0)
+
+        # Both loop modes share one bounce body (_trace_rays_kernel);
+        # "unroll" just unrolls it at trace time.
+        trace = functools.partial(
+            _trace_rays_kernel, unroll=cfg.bounce_loop != "fori"
+        )
+        # Sample-invariant bounce-0 intersection AND shading, hoisted out
+        # of the sample loop (all samples share the primary ray,
+        # shader.frag:519) — paid once per pixel instead of once per sample.
+        pre0 = precompute_bounce0(scene, focus, d, cfg)
+
+        if cfg.rng_mode == "sequential":
+            # The reference's per-pixel stream carried ACROSS the sample
+            # loop (shader.frag:92): bit-parity mode at production speed —
+            # within a tile each lane's samples are sequential anyway, so
+            # the counter simply rides the fori carry. Sample-axis
+            # sharding is impossible in this mode (the jnp renderer
+            # enforces the same).
+            def sample_body(s, state):
+                acc, counter = state
+                light, counter = trace(
+                    scene, focus, d, pixel_bits, seed, counter, cfg, pre0=pre0
+                )
+                return acc + light, counter
+
+            acc, _ = jax.lax.fori_loop(
+                0, cfg.samples, sample_body, (zero3, counter0)
+            )
+        else:
+
+            def sample_body(s, acc):
+                bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
+                light, _ = trace(
+                    scene, focus, d, bits, seed, counter0, cfg, pre0=pre0
+                )
+                return acc + light
+
+            acc = jax.lax.fori_loop(0, cfg.samples, sample_body, zero3)
+        inv = 1.0 / jnp.float32(cfg.samples)
+        out_ref[0, j, 0] = acc.x * inv
+        out_ref[0, j, 1] = acc.y * inv
+        out_ref[0, j, 2] = acc.z * inv
 
 
 def render_light_pallas(
@@ -420,20 +432,28 @@ def _render_light_pallas_jit(
     tile = sublanes * LANES
     total = n_views * height * width
     n_tiles = pl.cdiv(total, tile)
+    # Pad the tile count to a tiles_per_program multiple; padded tiles
+    # clamp to the last pixel (all lanes invalid) and are sliced away
+    # with the regular tail below.
+    tpp = min(cfg.tiles_per_program, n_tiles)
+    n_groups = pl.cdiv(n_tiles, tpp)
+    n_tiles = n_groups * tpp
+
+    import dataclasses as _dc
 
     kernel = functools.partial(
-        _kernel, rebuild=rebuild, cfg=cfg,
+        _kernel, rebuild=rebuild, cfg=_dc.replace(cfg, tiles_per_program=tpp),
         n_views=n_views, height=height, width=width,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_frames, n_tiles),
+        grid=(n_frames, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 3, sublanes, LANES),
+            (1, tpp, 3, sublanes, LANES),
             lambda f, i: (f, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
