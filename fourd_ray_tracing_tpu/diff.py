@@ -412,6 +412,50 @@ def _pallas_image_loss_bwd(cfg, res, ct):
 pallas_image_loss.defvjp(_pallas_image_loss_fwd, _pallas_image_loss_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5))
+def pallas_image_loss_sharded(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target, mesh
+) -> jnp.ndarray:
+    """`pallas_image_loss` with the value-and-grad kernel's tile axis
+    sharded over ``mesh`` (gradkernel.sharded_loss_and_grad_pallas): the
+    multi-chip production training path. Loss and gradients equal the
+    single-device kernel up to psum reduction order."""
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        sharded_loss_and_grad_pallas,
+    )
+
+    loss, _ = sharded_loss_and_grad_pallas(scene, camera, cfg, seed, target, mesh)
+    return loss
+
+
+def _pallas_image_loss_sharded_fwd(scene, camera, cfg, seed, target, mesh):
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        sharded_loss_and_grad_pallas,
+    )
+
+    loss, grads = sharded_loss_and_grad_pallas(
+        scene, camera, cfg, seed, target, mesh
+    )
+    return loss, (grads, seed, target)
+
+
+def _pallas_image_loss_sharded_bwd(cfg, mesh, res, ct):
+    (g_scene, g_cam), seed, target = res
+    scale = lambda g: g * ct
+    zero_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return (
+        jax.tree_util.tree_map(scale, g_scene),
+        jax.tree_util.tree_map(scale, g_cam),
+        zero_seed,
+        jnp.zeros_like(target),
+    )
+
+
+pallas_image_loss_sharded.defvjp(
+    _pallas_image_loss_sharded_fwd, _pallas_image_loss_sharded_bwd
+)
+
+
 def make_train_step(
     cfg: RenderConfig,
     optimizer: optax.GradientTransformation,
@@ -437,21 +481,28 @@ def make_train_step(
     all-reduce over ICI fused into the backward pass.
     ``impl="pallas"`` trains through the value-and-grad megakernel
     (`pallas_image_loss`): one kernel launch computes loss + all
-    gradients. Hard loss, single device (mesh/soft stay on the jnp
-    pipeline).
+    gradients; with a mesh the kernel's tile axis shards over it
+    (`pallas_image_loss_sharded` — one psum of loss+grads over ICI).
+    Only the soft-silhouette loss stays on the jnp pipeline (its blend
+    needs d(image), not d(loss); see soft_image_loss).
 
     Returns a step whose metrics dict carries loss and the global
     gradient norm (SURVEY §5 metrics/logging).
     """
     soft = soft_object_ref is not None or soft_sphere_index is not None
-    if impl == "pallas" and (soft or mesh is not None):
+    if impl == "pallas" and soft:
         raise ValueError(
-            "impl='pallas' supports the hard single-device loss; use the "
-            "jnp pipeline for soft-silhouette or mesh-sharded training"
+            "impl='pallas' supports the hard loss (single-device or "
+            "mesh-sharded); soft-silhouette training runs on the jnp "
+            "pipeline"
         )
 
     def loss_fn(scene, seed, target):
         if impl == "pallas":
+            if mesh is not None:
+                return pallas_image_loss_sharded(
+                    scene, camera, cfg, seed, target, mesh
+                )
             return pallas_image_loss(scene, camera, cfg, seed, target)
         if not soft:
             return image_loss(scene, camera, cfg, seed, target, mesh)

@@ -297,8 +297,8 @@ def _tile_camera(camera, view, n_views: int, tile_zero):
     return top, right, vec_to_mtr, focus
 
 
-def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
-            n_views: int, height: int, width: int):
+def _kernel(params_ref, seed_ref, tile0_ref, out_ref, *, rebuild,
+            cfg: RenderConfig, n_views: int, height: int, width: int):
     scene, camera = rebuild(params_ref)
     # Grid = (frames, tile groups): the frame axis batches whole
     # accumulation frames (distinct seeds) into ONE dispatch, amortizing
@@ -307,12 +307,17 @@ def _kernel(params_ref, seed_ref, out_ref, *, rebuild, cfg: RenderConfig,
     # cfg.tiles_per_program tiles sequentially, amortizing the scene
     # unpack + per-program bookkeeping (see RenderConfig.tiles_per_program)
     # over T tiles while the live vector state stays one tile wide.
+    # tile0: global index of this launch's first tile — 0 single-device;
+    # device_index * tiles_local under mesh sharding (the tile axis IS
+    # the shard axis, sharded_render_light_pallas). Pixel coords and RNG
+    # streams derive from the GLOBAL tile index, so sharding never
+    # changes the image (SURVEY §4.6).
     seed = seed_ref[pl.program_id(0)].astype(jnp.uint32)
 
     sublanes = cfg.tile_sublanes
     tpp = cfg.tiles_per_program
     for j in range(tpp):
-        pid = pl.program_id(1) * tpp + j
+        pid = tile0_ref[0] + pl.program_id(1) * tpp + j
         scr_x, scr_y, view, _valid = _tile_pixels(
             cfg, n_views, height, width, pid
         )
@@ -439,29 +444,10 @@ def _render_light_pallas_jit(
     n_groups = pl.cdiv(n_tiles, tpp)
     n_tiles = n_groups * tpp
 
-    import dataclasses as _dc
-
-    kernel = functools.partial(
-        _kernel, rebuild=rebuild, cfg=_dc.replace(cfg, tiles_per_program=tpp),
-        n_views=n_views, height=height, width=width,
+    out = _launch_forward(
+        packed, rebuild, seed_arr, 0, n_tiles, cfg, tpp,
+        n_views, height, width, interpret,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_frames, n_groups),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tpp, 3, sublanes, LANES),
-            lambda f, i: (f, i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_frames, n_tiles, 3, sublanes, LANES), jnp.float32
-        ),
-        interpret=interpret,
-    )(packed, seed_arr)
 
     # (frames, tiles, 3, sublanes, 128) -> (frames, pixels, 3) -> images
     flat = out.transpose(0, 1, 3, 4, 2).reshape(n_frames, n_tiles * tile, 3)
@@ -470,6 +456,163 @@ def _render_light_pallas_jit(
     if frame_batched:
         return flat.reshape((n_frames,) + shape)
     return flat.reshape(shape)
+
+
+def _launch_forward(packed, rebuild, seed_arr, tile0, n_tiles, cfg, tpp,
+                    n_views, height, width, interpret, vma=None):
+    """One forward megakernel launch over ``n_tiles`` tiles starting at
+    global tile index ``tile0``; returns (frames, n_tiles, 3, sublanes,
+    LANES) light tiles. ``vma``: mesh axes the output varies over
+    (required by shard_map's replication checker when launching inside
+    it — see sharded_render_light_pallas)."""
+    import dataclasses as _dc
+
+    n_frames = int(seed_arr.shape[0])
+    sublanes = cfg.tile_sublanes
+    n_groups = n_tiles // tpp
+    tile0_arr = jnp.asarray(tile0, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _kernel, rebuild=rebuild, cfg=_dc.replace(cfg, tiles_per_program=tpp),
+        n_views=n_views, height=height, width=width,
+    )
+    shape = (n_frames, n_tiles, 3, sublanes, LANES)
+    if vma is None:
+        out_shape = jax.ShapeDtypeStruct(shape, jnp.float32)
+    else:
+        out_shape = jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_frames, n_groups),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tpp, 3, sublanes, LANES),
+            lambda f, i: (f, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(packed, seed_arr, tile0_arr)
+
+
+def sharded_render_light_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, mesh,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Sample-averaged light with the megakernel's TILE axis sharded over
+    every device of ``mesh`` — the multi-chip production forward
+    (SURVEY §2.4: fragment-shader SIMT -> Pallas megakernel + shard_map;
+    windows.cpp:45).
+
+    Mirrors gradkernel.sharded_loss_and_grad_pallas's tile0 scheme: each
+    device launches the kernel on its contiguous block of pixel tiles
+    (tile0 = device_index * tiles_local; pixel coords and RNG streams
+    derive from the GLOBAL tile index), so the assembled image is
+    BIT-IDENTICAL to the single-device kernel for any mesh shape
+    (tests/test_sharding.py::test_sharded_megakernel_matches_single_device).
+    The tile count pads up to a device multiple; padding tiles render
+    clamped pixels that the tail slice discards. The per-device outputs
+    stay sharded (one all_gather at the host assembles the image only
+    when the caller materializes it).
+
+    Same seed semantics as render_light_pallas (a (K,) seed vector
+    renders K frames per launch).
+    """
+    if cfg.intersect == "fast" and cfg.plane_hints is None:
+        hints = plane_norm_hints(scene)
+        if hints is not None:
+            cfg = dataclasses.replace(
+                cfg, plane_hints=hints,
+                plane_pairs=plane_pair_hints(scene, hints),
+            )
+    if cfg.intersect == "fast" and cfg.axis_hints is None:
+        ah = axis_alignment_hints(scene)
+        if ah is not None:
+            cfg = dataclasses.replace(cfg, axis_hints=ah)
+    return _sharded_render_light_pallas_jit(
+        scene, camera, cfg, seed, mesh, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "interpret"))
+def _sharded_render_light_pallas_jit(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, mesh,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if cfg.rng_mode not in ("per_sample", "sequential"):
+        raise ValueError(f"unknown rng_mode: {cfg.rng_mode!r}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    frame_batched = jnp.ndim(seed) >= 1
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(-1)
+    n_frames = int(seed_arr.shape[0])
+
+    sublanes = cfg.tile_sublanes
+    tile = sublanes * LANES
+    total = n_views * height * width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_tiles = pl.cdiv(total, tile)
+    tpp = min(cfg.tiles_per_program, n_tiles)
+    # Tiles per device: a tiles_per_program multiple, padded up to cover
+    # the image across n_dev devices.
+    tiles_local = pl.cdiv(pl.cdiv(n_tiles, n_dev), tpp) * tpp
+    n_tiles = tiles_local * n_dev
+
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local(packed, seed_arr):
+        # Linear device index over the whole mesh = global tile offset.
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return _launch_forward(
+            packed, rebuild, seed_arr, idx * tiles_local, tiles_local,
+            cfg, tpp, n_views, height, width, interpret, vma=axes,
+        )
+
+    # check_vma=False: same pallas-internals workaround as
+    # gradkernel.sharded_loss_and_grad_pallas (the replication checker
+    # trips inside pallas lowering on the mixed replicated/varying
+    # operands); semantics covered by the bit-identity test.
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(None, axes),  # tile axis sharded over the whole mesh
+        check_vma=False,
+    )(packed, seed_arr)
+
+    flat = out.transpose(0, 1, 3, 4, 2).reshape(n_frames, n_tiles * tile, 3)
+    flat = flat[:, :total]
+    shape = (height, width, 3) if n_views == 1 else (n_views, height, width, 3)
+    if frame_batched:
+        return flat.reshape((n_frames,) + shape)
+    return flat.reshape(shape)
+
+
+def sharded_render_image_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, mesh,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Tone-mapped mesh-sharded megakernel render (see
+    sharded_render_light_pallas)."""
+    light = sharded_render_light_pallas(scene, camera, cfg, seed, mesh,
+                                        interpret)
+    color = light_to_color(
+        Vec3(light[..., 0], light[..., 1], light[..., 2]),
+        jnp.float32(cfg.light_coefficient),
+    )
+    return color.stack(axis=-1)
 
 
 def render_image_pallas(
