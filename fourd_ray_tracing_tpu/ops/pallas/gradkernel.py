@@ -82,7 +82,7 @@ DEBUG_SKIP_PASS2 = False
 def _loss_grad_kernel(
     params_ref, seed_ref, tile0_ref, target_ref, loss_ref, grad_ref, *,
     rebuild, n_params: int, cfg: RenderConfig,
-    n_views: int, height: int, width: int,
+    n_views: int, height: int, width: int, vector_store: bool = False,
 ):
     seed = seed_ref[0].astype(jnp.uint32)
     # tile0: global index of this launch's first tile — 0 single-device;
@@ -185,8 +185,17 @@ def _loss_grad_kernel(
         g = zero_g
     else:
         g = jax.lax.fori_loop(0, cfg.samples, grad_body, zero_g)
-    for k in range(n_params):
-        grad_ref[lpid, k] = g[k]
+    if vector_store:
+        # Interpret mode (CPU tests/dryruns): ONE row store. n_params
+        # chained scalar stores lower to a dynamic-update-slice chain
+        # that sends XLA's algebraic simplifier into its 50-run circular
+        # loop under SPMD partitioning (VERDICT r3 weak #4; minimal
+        # repro: any 2-output SMEM pallas_call with ~150 scalar stores
+        # inside shard_map). Mosaic SMEM stores stay scalar.
+        grad_ref[lpid, :] = jnp.stack(g)
+    else:
+        for k in range(n_params):
+            grad_ref[lpid, k] = g[k]
 
 
 def render_loss_and_grad_pallas(
@@ -289,6 +298,7 @@ def _launch(packed, rebuild, seed, tile0, t_tiles, cfg, n_views, height,
     kernel = functools.partial(
         _loss_grad_kernel, rebuild=rebuild, n_params=n_params, cfg=cfg,
         n_views=n_views, height=height, width=width,
+        vector_store=bool(interpret),
     )
 
     def out_struct(shape):
