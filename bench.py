@@ -391,6 +391,54 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
     return med
 
 
+def run_soft_train_workload(width, height, samples, bounces):
+    """Soft-silhouette training step on the KERNEL path (VERDICT r3 #5):
+    two forward megakernel renders + two pass-2 light-VJP kernel runs
+    per step (scene and scene-minus-object), alpha/blend in jnp. A
+    'ray' is one traced path of ONE forward render, so the ideal cost
+    is >= 2x the hard inverse_step's per-ray time."""
+    from fourd_ray_tracing_tpu.diff import (
+        soft_image_loss_pallas,
+        with_frozen_hints,
+    )
+
+    cfg = RenderConfig(
+        width=width, height=height, samples=samples,
+        reflections_amount=bounces, light_coefficient=0.12,
+        sampler_method=SAMPLER, rng_mode="per_sample", intersect="fast",
+        tile_sublanes=TILE_SUBLANES,
+    )
+    scene = library.SCENES["room_with_sphere"]()
+    cfg = with_frozen_hints(cfg, scene)
+    camera = default_camera()
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    ref = ("spheres", 0)
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda s, seed: soft_image_loss_pallas(
+            s, camera, cfg, seed, target, ref, 0.05
+        )
+    ))
+
+    def fn(seed):
+        loss, _ = vg(scene, seed)
+        return loss
+
+    rays = width * height * samples
+    loss = jax.block_until_ready(fn(np.uint32(1)))
+    assert bool(jnp.isfinite(loss)), "non-finite loss in soft train bench"
+    lo, med, hi = time_rounds(fn, rays, frames=FRAMES)
+    emit({
+        "metric": "grad_rays_per_second", "workload": "soft_step",
+        "scene": "room_with_sphere", "impl": "pallas",
+        "value": med, "min": lo, "max": hi,
+        "unit": "rays/s", "rays_per_frame": rays,
+        "vs_baseline": med / TARGET_RAYS_PER_S,
+        "note": "2 renders + 2 light-vjp kernels per step",
+    })
+    return med
+
+
 def grad_flops_per_ray(cfg):
     """XLA cost analysis of the jnp value-and-grad at tiny resolution ->
     FLOPs per traced forward path of the full loss+gradient step (the
@@ -490,6 +538,7 @@ def main():
                       impl=grad_impl)
     if grad_impl == "pallas":
         run_train_scan_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
+        run_soft_train_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
         run_grad_workload(grad_xla_res[0], grad_xla_res[1], SAMPLES, BOUNCES,
                           impl="xla", workload="inverse_step_xla")
 

@@ -456,6 +456,128 @@ pallas_image_loss_sharded.defvjp(
 )
 
 
+# --- Arbitrary losses over kernel renders ------------------------------------
+#
+# `pallas_render_light` is the MEAN-light render as a custom-vjp
+# primitive: forward = the production megakernel, backward = the pass-2
+# light-VJP kernel (gradkernel.render_light_vjp_pallas) with whatever
+# per-pixel cotangent the outer jnp computation produces. Any
+# differentiable jnp function of rendered light — tone maps, soft
+# blends, perceptual losses — trains on the kernel path with zero jnp
+# re-rendering.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_render_light(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed
+) -> jnp.ndarray:
+    """Differentiable mean-light render, kernel forward AND backward.
+
+    Semantics equal models.renderer.render_light with
+    rng_mode="per_sample" (same estimator, same streams); gradients are
+    the estimator's at fixed RNG, like pallas_image_loss. Pass a
+    `with_frozen_hints` cfg to run both directions with the production
+    static hints (freeze contract applies to the backward)."""
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import render_light_pallas
+
+    return render_light_pallas(scene, camera, cfg, seed)
+
+
+def _pallas_render_light_fwd(scene, camera, cfg, seed):
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import render_light_pallas
+
+    light = render_light_pallas(scene, camera, cfg, seed)
+    return light, (scene, camera, seed)
+
+
+def _pallas_render_light_bwd(cfg, res, cot_light):
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        render_light_vjp_pallas,
+    )
+
+    scene, camera, seed = res
+    g_scene, g_cam = render_light_vjp_pallas(scene, camera, cfg, seed, cot_light)
+    zero_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return g_scene, g_cam, zero_seed
+
+
+pallas_render_light.defvjp(_pallas_render_light_fwd, _pallas_render_light_bwd)
+
+
+def _hints_for_dropped(cfg: RenderConfig, object_ref) -> RenderConfig:
+    """Statically remap cfg's scene hints for `drop_object(scene, ref)`
+    so the without-object render keeps (most of) the hinted fold.
+    Hints are static tuples indexed by primitive position, so dropping a
+    primitive shifts/removes entries: spaces drop their plane_hints row
+    (wall PAIRS are conservatively disabled — indices shift); cylinders
+    drop their axis-hint entry; composite objects null their field."""
+    kind, idx = object_ref
+    if kind == "spaces" and cfg.plane_hints is not None:
+        hints = tuple(h for k, h in enumerate(cfg.plane_hints) if k != idx)
+        cfg = dataclasses.replace(
+            cfg, plane_hints=hints or None, plane_pairs=None
+        )
+    ah = cfg.axis_hints
+    if ah is not None:
+        if kind == "cylinders" and ah.cylinders:
+            ah = ah._replace(
+                cylinders=tuple(
+                    h for k, h in enumerate(ah.cylinders) if k != idx
+                )
+            )
+        elif kind == "cylinders_union":
+            ah = ah._replace(cylinders_union=None)
+        elif kind == "hypercube":
+            ah = ah._replace(hypercube=None)
+        elif kind == "tiger":
+            ah = ah._replace(tiger=None)
+        if (not any(ah.cylinders) and ah.cylinders_union is None
+                and ah.hypercube is None and ah.tiger is None):
+            ah = None
+        cfg = dataclasses.replace(cfg, axis_hints=ah)
+    return cfg
+
+
+def soft_image_loss_pallas(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    seed,
+    target: jnp.ndarray,
+    object_ref,
+    edge_width: float = 0.05,
+) -> jnp.ndarray:
+    """`soft_image_loss` with BOTH renders on the production megakernel
+    and their gradients on the pass-2 light-VJP kernel (VERDICT r3 #5:
+    soft geometry optimization no longer pays jnp-pipeline speed).
+
+    The coverage alpha and the tone-mapped blend stay cheap jnp (they
+    differentiate through ordinary AD); only the two renders and their
+    image cotangents run in kernels via `pallas_render_light`. Same
+    estimator as the jnp soft loss at the same seed.
+    """
+    from fourd_ray_tracing_tpu.ops.sky import light_to_color
+    from fourd_ray_tracing_tpu.ops.vec4 import Vec3
+
+    without = drop_object(scene, object_ref)
+    lw = pallas_render_light(scene, camera, cfg, seed)
+    lwo = pallas_render_light(
+        without, camera, _hints_for_dropped(cfg, object_ref), seed
+    )
+
+    def tonemap(light):
+        c = light_to_color(
+            Vec3(light[..., 0], light[..., 1], light[..., 2]),
+            jnp.float32(cfg.light_coefficient),
+        )
+        return c.stack(axis=-1)
+
+    img_w, img_wo = tonemap(lw), tonemap(lwo)
+    alpha = object_coverage(scene, object_ref, camera, cfg, edge_width)[..., None]
+    img = alpha * img_w + (1.0 - alpha) * img_wo
+    return jnp.mean((img - target) ** 2)
+
+
 def make_train_step(
     cfg: RenderConfig,
     optimizer: optax.GradientTransformation,
@@ -482,23 +604,29 @@ def make_train_step(
     ``impl="pallas"`` trains through the value-and-grad megakernel
     (`pallas_image_loss`): one kernel launch computes loss + all
     gradients; with a mesh the kernel's tile axis shards over it
-    (`pallas_image_loss_sharded` — one psum of loss+grads over ICI).
-    Only the soft-silhouette loss stays on the jnp pipeline (its blend
-    needs d(image), not d(loss); see soft_image_loss).
+    (`pallas_image_loss_sharded` — one psum of loss+grads over ICI);
+    soft-silhouette losses run their two renders on the forward
+    megakernel and their image cotangents on the pass-2 light-VJP
+    kernel (`soft_image_loss_pallas` via `pallas_render_light`;
+    single-device).
 
     Returns a step whose metrics dict carries loss and the global
     gradient norm (SURVEY §5 metrics/logging).
     """
     soft = soft_object_ref is not None or soft_sphere_index is not None
-    if impl == "pallas" and soft:
+    if impl == "pallas" and soft and mesh is not None:
         raise ValueError(
-            "impl='pallas' supports the hard loss (single-device or "
-            "mesh-sharded); soft-silhouette training runs on the jnp "
-            "pipeline"
+            "impl='pallas' soft-silhouette training is single-device "
+            "(use the jnp pipeline for mesh-sharded soft training)"
         )
 
     def loss_fn(scene, seed, target):
         if impl == "pallas":
+            if soft:
+                ref = soft_object_ref or ("spheres", soft_sphere_index or 0)
+                return soft_image_loss_pallas(
+                    scene, camera, cfg, seed, target, ref, edge_width
+                )
             if mesh is not None:
                 return pallas_image_loss_sharded(
                     scene, camera, cfg, seed, target, mesh

@@ -198,6 +198,135 @@ def _loss_grad_kernel(
             grad_ref[lpid, k] = g[k]
 
 
+def _light_vjp_kernel(
+    params_ref, seed_ref, tile0_ref, cot_ref, grad_ref, *,
+    rebuild, n_params: int, cfg: RenderConfig,
+    n_views: int, height: int, width: int, vector_store: bool = False,
+):
+    """Pass-2-only variant of _loss_grad_kernel: the per-pixel cotangent
+    of the SUMMED light arrives as an input (cot_ref tiles) instead of
+    being derived from an in-kernel MSE, so ANY outer jnp loss can
+    backpropagate through the production renderer (render_light_vjp_pallas
+    / diff.pallas_render_light). Same per-sample jax.vjp reverse sweep,
+    same estimator-at-fixed-RNG semantics, same (tiles, P) gradient
+    traffic."""
+    seed = seed_ref[0].astype(jnp.uint32)
+    pid = pl.program_id(0) + tile0_ref[0]
+    scr_x, scr_y, view, _valid = _tile_pixels(cfg, n_views, height, width, pid)
+    tile_zero = jnp.zeros(scr_x.shape, jnp.float32)
+    pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
+    counter0 = rng.init_counter(seed, pixel_bits.shape)
+    vals = tuple(params_ref[k] for k in range(n_params))
+    # Padded/invalid lanes carry zero cotangents (the caller's tile
+    # layout zero-pads), so no mask is needed here.
+    cot_acc = (cot_ref[0, 0], cot_ref[0, 1], cot_ref[0, 2])
+
+    def primary(vals):
+        scene, camera = rebuild(vals)
+        top, right, vec_to_mtr, focus = _tile_camera(
+            camera, view, n_views, tile_zero
+        )
+        mx = (scr_x - 0.5) * camera.mtr_width
+        my = (0.5 - scr_y) * camera.mtr_height
+        d = normalize(vec_to_mtr + top * my + right * mx)
+        return scene, focus, d
+
+    def sample_fn(s):
+        def f(*vals):
+            scene, o, d = primary(vals)
+            pre0 = precompute_bounce0(scene, o, d, cfg)
+            bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
+            light, _ = _trace_rays_kernel(
+                scene, o, d, bits, seed, counter0, cfg, pre0=pre0, unroll=True
+            )
+            return light.x, light.y, light.z
+
+        return f
+
+    def grad_body(s, g):
+        _, vjp_fn = jax.vjp(sample_fn(s), *vals)
+        gs = vjp_fn(cot_acc)
+        return tuple(a + b for a, b in zip(g, gs))
+
+    zero_g = tuple(jnp.float32(0.0) for _ in range(n_params))
+    g = jax.lax.fori_loop(0, cfg.samples, grad_body, zero_g)
+    lpid = pl.program_id(0)
+    if vector_store:
+        # See _loss_grad_kernel: one row store avoids the SPMD
+        # algebraic-simplifier loop in interpret mode.
+        grad_ref[lpid, :] = jnp.stack(g)
+    else:
+        for k in range(n_params):
+            grad_ref[lpid, k] = g[k]
+
+
+def render_light_vjp_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, cot_light,
+    interpret: bool | None = None,
+):
+    """(grad_scene, grad_camera) = the VJP of the MEAN-light render
+    (render_light_pallas semantics) with per-pixel cotangent
+    ``cot_light`` (shape (H, W, 3) or (V, H, W, 3)) — computed entirely
+    by the pass-2 megakernel. This is the building block that puts ANY
+    jnp loss over rendered images on the kernel path
+    (diff.pallas_render_light / diff.soft_image_loss kernel impl).
+
+    Honors cfg.freeze_hints exactly like render_loss_and_grad_pallas.
+    """
+    cfg = _auto_hints(scene, cfg)
+    return _render_light_vjp_jit(scene, camera, cfg, seed, cot_light, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _render_light_vjp_jit(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, cot_light,
+    interpret: bool | None = None,
+):
+    _check_cfg(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    n_params = int(packed.shape[0])
+    tile = cfg.tile_sublanes * LANES
+    total = n_views * height * width
+    n_tiles = pl.cdiv(total, tile)
+    # The kernel accumulates against the SUMMED light (acc = sum_s
+    # light_s); the public cotangent is w.r.t. the MEAN light.
+    cot_tiles = _target_tiles(
+        jnp.asarray(cot_light, jnp.float32) * np.float32(1.0 / cfg.samples),
+        total, n_tiles, cfg.tile_sublanes,
+    )
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+    tile0_arr = jnp.zeros((1,), jnp.int32)
+    kernel = functools.partial(
+        _light_vjp_kernel, rebuild=rebuild, n_params=n_params, cfg=cfg,
+        n_views=n_views, height=height, width=width,
+        vector_store=bool(interpret),
+    )
+    grad_parts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 3, cfg.tile_sublanes, LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_params), jnp.float32),
+        interpret=interpret,
+    )(packed, seed_arr, tile0_arr, cot_tiles)
+    return _freeze_grads(rebuild(jnp.sum(grad_parts, axis=0)), cfg)
+
+
 def render_loss_and_grad_pallas(
     scene: Scene, camera: Camera, cfg: RenderConfig, seed, target,
     interpret: bool | None = None,

@@ -202,6 +202,63 @@ def test_pallas_train_step_reduces_loss():
 
 
 @pytest.mark.slow
+def test_light_vjp_kernel_matches_jnp_vjp():
+    """The pass-2 light-VJP kernel (arbitrary per-pixel cotangent)
+    equals jax.vjp of the jnp mean-light render, per parameter."""
+    from fourd_ray_tracing_tpu.models.renderer import render_light
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        render_light_vjp_pallas,
+    )
+
+    scene = library.room_with_sphere()
+    camera = default_camera()
+    cot = jnp.asarray(
+        np.random.default_rng(7).normal(0, 1, (CFG.height, CFG.width, 3)),
+        jnp.float32,
+    )
+    gs_k, gc_k = render_light_vjp_pallas(scene, camera, CFG, 5, cot)
+
+    _, vjp_fn = jax.vjp(
+        lambda s, c: render_light(s, c, CFG, 5), scene, camera
+    )
+    gs_j, gc_j = vjp_fn(cot)
+    for gk_, gj_ in ((gs_k, gs_j), (gc_k, gc_j)):
+        gk = _flat_grads(gk_)
+        gj = _flat_grads(gj_)
+        scale = np.maximum(np.abs(gj), 1e-3 * np.abs(gj).max() + 1e-8)
+        assert (np.abs(gk - gj) / scale).max() < 5e-2
+    assert np.abs(_flat_grads(gs_j)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_pallas_render_light_custom_vjp_any_loss():
+    """jax.grad of an arbitrary jnp loss over `pallas_render_light`
+    (here: tone-mapped L1) equals the jnp pipeline's grad — any loss
+    trains on the kernel path."""
+    from fourd_ray_tracing_tpu.diff import pallas_render_light
+    from fourd_ray_tracing_tpu.models.renderer import render_light
+
+    scene = library.sphere_plane_light()
+    camera = default_camera()
+
+    def loss_k(scene):
+        light = pallas_render_light(scene, camera, CFG, np.uint32(5))
+        return jnp.mean(jnp.abs(jnp.tanh(light) - 0.25))
+
+    def loss_j(scene):
+        light = render_light(scene, camera, CFG, np.uint32(5))
+        return jnp.mean(jnp.abs(jnp.tanh(light) - 0.25))
+
+    lk, gk_ = jax.value_and_grad(loss_k)(scene)
+    lj, gj_ = jax.value_and_grad(loss_j)(scene)
+    np.testing.assert_allclose(float(lk), float(lj), rtol=1e-5)
+    gk = _flat_grads(gk_)
+    gj = _flat_grads(gj_)
+    scale = np.maximum(np.abs(gj), 1e-3 * np.abs(gj).max() + 1e-8)
+    assert (np.abs(gk - gj) / scale).max() < 5e-2
+
+
+@pytest.mark.slow
 def test_pallas_train_step_mesh_matches_single_device():
     """make_train_step(impl='pallas', mesh=...) runs the TILE-sharded
     value-and-grad kernel (VERDICT r3 missing #3): one step's loss and
