@@ -254,12 +254,60 @@ class CaptureState:
         self.fps_suppress = False
 
 
+def make_preview(engine: RenderEngine, upscale: dict | None = None,
+                 cap: "CaptureState | None" = None, meter: Meter | None = None,
+                 port: int = 0, fps: float = 10.0, text_size: int = 24):
+    """Live HTTP preview of every window (utils/viewer.PreviewServer —
+    the reference's on-screen display, main.cpp:79-106, as a stream).
+    The callback snapshots the newest accumulation buffer per request
+    (never blocks the render loop) and applies the same presentation as
+    the PNG path: upscale sprite blit + capture-gated FPS overlay on the
+    main window only. Host 0 only (like save_windows)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return None
+    from fourd_ray_tracing_tpu.utils.image import to_uint8
+    from fourd_ray_tracing_tpu.utils.viewer import PreviewServer
+
+    views = [v for g in engine.groups for v in g.views]
+
+    def get_frame(view: str) -> np.ndarray:
+        for g in engine.groups:
+            if view in g.views:
+                acc = np.asarray(g.accum)
+                img = acc if acc.ndim == 3 else acc[g.views.index(view)]
+                break
+        else:  # pragma: no cover - PreviewServer validates views
+            raise KeyError(view)
+        if (view == views[0] and cap is not None and meter is not None
+                and cap.captured and not cap.fps_suppress
+                and meter.stats.seconds > 0):
+            from fourd_ray_tracing_tpu.utils.overlay import draw_fps
+
+            img = draw_fps(img, meter.stats.frames / meter.stats.seconds,
+                           text_size)
+        s = (upscale or {}).get(view, 1)
+        if s > 1:
+            img = np.repeat(np.repeat(img, s, axis=0), s, axis=1)
+        return to_uint8(img)
+
+    return PreviewServer(get_frame, views=views, port=port, fps=fps)
+
+
 def interactive_loop(
     engine: RenderEngine, out_dir: Path, upscale: dict | None = None,
-    min_frame_seconds: float = 0.0,
+    min_frame_seconds: float = 0.0, serve_port: int | None = None,
+    serve_fps: float = 10.0,
 ) -> None:
     meter = Meter()
     cap = CaptureState()
+    preview = None
+    if serve_port is not None:
+        preview = make_preview(engine, upscale, cap, meter,
+                               port=serve_port, fps=serve_fps)
+        if preview is not None:
+            log0(f"live preview at {preview.url}")
 
     def frames(n):
         run_frames(engine, meter, n, min_frame_seconds=min_frame_seconds)
@@ -339,6 +387,8 @@ def interactive_loop(
             log0(meter.stats.as_json())
         else:
             log0(f"unknown command: {cmd}")
+    if preview is not None:
+        preview.close()
 
 
 def main(argv=None) -> int:
@@ -361,6 +411,14 @@ def main(argv=None) -> int:
         help="scale PNGs by each window's cell_size (the sprite blit, "
         "windows.cpp:33)",
     )
+    ap.add_argument(
+        "--serve", type=int, default=None, metavar="PORT",
+        help="serve a live HTTP preview of every window (0 = random "
+        "port); the headless analogue of the reference's on-screen "
+        "display (main.cpp:79-106)",
+    )
+    ap.add_argument("--serve-fps", type=float, default=10.0,
+                    help="preview stream parts/second cap")
     args = ap.parse_args(argv)
 
     app = AppConfig.load(args.config)
@@ -386,13 +444,20 @@ def main(argv=None) -> int:
     if args.interactive:
         pace = 1.0 / app.max_fps if app.max_fps > 0 else 0.0
         interactive_loop(engine, out_dir, upscale=upscale,
-                         min_frame_seconds=pace)
+                         min_frame_seconds=pace, serve_port=args.serve,
+                         serve_fps=args.serve_fps)
         if args.save_state:
             engine.save_checkpoint(args.save_state)
             log0(f"saved state to {args.save_state}")
         return 0
 
     meter = Meter()
+    preview = None
+    if args.serve is not None:
+        preview = make_preview(engine, upscale, port=args.serve,
+                               fps=args.serve_fps, text_size=app.text.size)
+        if preview is not None:
+            log0(f"live preview at {preview.url}")
     t0 = time.perf_counter()
     run_frames(engine, meter, args.frames)
     fps = meter.stats.frames / meter.stats.seconds if args.fps_overlay else None
@@ -408,6 +473,8 @@ def main(argv=None) -> int:
         engine.save_checkpoint(args.save_state)
         log0(f"saved state to {args.save_state}")
     log0(f"total {time.perf_counter() - t0:.2f}s")
+    if preview is not None:
+        preview.close()
     return 0
 
 

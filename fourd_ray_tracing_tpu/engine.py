@@ -376,12 +376,30 @@ class RenderEngine:
             )
         return self.groups[0].accum
 
+    # step_frames chunk sizes: _step_n jit-specializes on the batch size
+    # (seeds shape (n,) and, for the megakernel, a grid=(n, tiles)
+    # program), and a fresh compile via the remote tunnel can take
+    # minutes — so an interactive "frames N" must NEVER compile a new N.
+    # Any request is served as a sequence of these fixed chunks (largest
+    # first), bounding the engine to at most len(CHUNKS) compiled step_n
+    # variants ever (ADVICE r3 #3). Bit-identical to n step_frame calls:
+    # seed/part sequences are computed on the host per chunk and the
+    # per-chunk blends compose exactly like consecutive single steps.
+    STEP_CHUNKS = (128, 32, 8, 1)
+
     def step_frames(self, n: int) -> jnp.ndarray:
-        """Render ``n`` accumulation frames in ONE dispatch per group
-        (idle-viewer batching, VERDICT r2 #3): the seed/part sequences
-        are exactly step_frame's, the megakernel renders all n seeds in
-        a single launch, and the n progressive blends run inside the
-        same jit. Bit-identical to n step_frame calls."""
+        """Render ``n`` accumulation frames in a few dispatches per group
+        (idle-viewer batching, VERDICT r2 #3), quantized to STEP_CHUNKS
+        so distinct ``n`` never trigger fresh compiles."""
+        while n > 0:
+            chunk = next(c for c in self.STEP_CHUNKS if c <= n)
+            self._step_frames_exact(chunk)
+            n -= chunk
+        return self.groups[0].accum
+
+    def _step_frames_exact(self, n: int) -> jnp.ndarray:
+        """One ``n``-frame dispatch per group (n should be a STEP_CHUNKS
+        member — every distinct value compiles its own step_n)."""
         if n <= 0:
             return self.groups[0].accum
         seeds, parts = [], []

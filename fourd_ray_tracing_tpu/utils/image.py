@@ -19,8 +19,11 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     )
 
 
-def write_png(path: str | Path, img: np.ndarray) -> None:
-    """Write an (H, W, 3) float [0,1] or uint8 array as a PNG file."""
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (H, W, 3) float [0,1] or uint8 array as PNG bytes.
+
+    ``compress_level`` 1 is the live-preview setting (utils/viewer.py:
+    encode speed beats size on localhost streams)."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         arr = to_uint8(arr)
@@ -36,12 +39,16 @@ def write_png(path: str | Path, img: np.ndarray) -> None:
         )
 
     raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
-    png = b"".join(
+    return b"".join(
         [
             b"\x89PNG\r\n\x1a\n",
             chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
-            chunk(b"IDAT", zlib.compress(raw, 6)),
+            chunk(b"IDAT", zlib.compress(raw, compress_level)),
             chunk(b"IEND", b""),
         ]
     )
-    Path(path).write_bytes(png)
+
+
+def write_png(path: str | Path, img: np.ndarray) -> None:
+    """Write an (H, W, 3) float [0,1] or uint8 array as a PNG file."""
+    Path(path).write_bytes(encode_png(img))
