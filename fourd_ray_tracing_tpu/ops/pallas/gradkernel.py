@@ -29,9 +29,16 @@ zero tangents, discrete hit/mirror decisions stay frozen, exactly like
 the jnp pipeline. tests/test_gradkernel.py checks loss and every
 parameter gradient against jax.value_and_grad of diff.image_loss.
 
-Cost: forward + (forward + transpose) per sample ~= 3-4x the forward
-kernel, all VPU/VMEM-resident — vs the jnp pipeline's HBM-bound
-scan-over-samples backward.
+Cost, MEASURED (round 4, same-phase on v5e via DEBUG_SKIP_PASS2): the
+whole loss+grad step runs at ~1.6x the forward kernel's step time —
+pass 1 (forward sample loop + loss cotangent) ~= 1.0x the forward
+kernel, and the ENTIRE per-sample reverse sweep (pass 2, envelope
+recompute included) adds only ~0.6x. That beats the 3-4x design
+estimate and falsifies the round-3 hypothesis that pass-2 recompute
+dominates: the training/forward throughput ratio is floored by the
+forward kernel itself (see README "Where the room kernel's time goes"),
+not by AD overhead. Tile sweep: 32 sublanes stays optimal for this
+kernel too (16 -> -7%, 8 fails to compile).
 
 Static hints: by default the kernel refuses plane/pair/axis hints
 (hint-dropped terms would distort those components' gradients). With
