@@ -181,3 +181,21 @@ def test_step_frames_matches_single_steps():
     np.testing.assert_allclose(
         np.asarray(eng_a.accum), np.asarray(eng_b.accum), atol=1e-6
     )
+
+
+def test_step_frames_chunking_matches_single_steps():
+    """A request crossing STEP_CHUNKS boundaries (9 = 8 + 1 with the
+    default chunk set) decomposes into fixed-size dispatches (ADVICE r3
+    #3: no fresh compile per distinct n) while staying bit-identical to
+    n single steps."""
+    eng_a = make_engine()
+    eng_b = make_engine()
+    assert 8 in eng_b.STEP_CHUNKS
+    for _ in range(9):
+        eng_a.step_frame()
+    eng_b.step_frames(9)
+    assert eng_a.frame_number == eng_b.frame_number
+    assert eng_a.seed == eng_b.seed
+    np.testing.assert_array_equal(
+        np.asarray(eng_a.accum), np.asarray(eng_b.accum)
+    )

@@ -75,8 +75,14 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh", action="store_true",
                     help="shard rays/samples over all local devices")
     ap.add_argument("--impl", choices=("xla", "pallas"), default="xla",
-                    help="pallas = the value-and-grad megakernel train "
-                    "path (hard loss, single device)")
+                    help="pallas = the kernel train paths: value-and-grad "
+                    "megakernel for the hard loss (tile-sharded with "
+                    "--mesh), forward+light-VJP kernels for --param "
+                    "position's soft loss (single device)")
+    ap.add_argument("--freeze-hints", action="store_true",
+                    help="with --impl pallas: run the grad kernel with "
+                    "the production static hints (diff.with_frozen_hints; "
+                    "wall normals / hinted axes get zero grads)")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (save each 20 steps)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--tol", type=float, default=None,
@@ -131,9 +137,17 @@ def main(argv=None) -> int:
 
         read = lambda s: float(s.spheres[1].center.x)
 
-    if args.impl == "pallas" and (soft is not None or mesh is not None):
-        raise SystemExit("--impl pallas supports the hard single-device "
-                         "loss (use --param glow without --mesh)")
+    if args.impl == "pallas" and soft is not None and mesh is not None:
+        raise SystemExit("--impl pallas soft training is single-device "
+                         "(drop --mesh for --param position)")
+    if args.impl == "pallas" and args.freeze_hints:
+        # Production kernel speed: run the grad kernel with the
+        # forward's static hints under the freeze contract (hyperplane
+        # normals / hinted axes get zero grads — fine here, the
+        # param_filter freezes everything but the target param anyway).
+        from fourd_ray_tracing_tpu.diff import with_frozen_hints
+
+        cfg = with_frozen_hints(cfg, scene0)
     opt = optax.adam(lr)
     step = make_train_step(cfg, opt, camera, mesh=mesh,
                            param_filter=param_filter,
