@@ -658,14 +658,44 @@ def intersect_scene_fast(
         return geo.miss_like(d.x)
 
     # Fold: strictly-nearer wins, ties keep the earlier candidate —
-    # exactly `closest(new, acc)` (shader.frag:181-185 via scene fold order).
-    best = dists[0]
-    idx = jnp.zeros_like(zero, dtype=jnp.int32)
-    for k, dk in enumerate(dists[1:], start=1):
-        take = dk < best
-        best = jnp.where(take, dk, best)
-        idx = jnp.where(take, jnp.int32(k), idx)
+    # exactly `closest(new, acc)` (shader.frag:181-185 via scene fold
+    # order). Structured as a TREE reduction, not a serial scan: the
+    # winner is the lexicographic (dist, index) minimum, which is
+    # associative, so pairwise merging in index order is BITWISE equal
+    # to the serial fold while shortening the lane-serial dependency
+    # chain from N-1 to ceil(log2 N) compare+select rounds (the fold is
+    # the latency-heaviest stage of the bounce body — tools/fwd_ablate).
+    if not _FOLD_TREE:  # A/B switch (tools/ab_bench.py); serial reference
+        best = dists[0]
+        idx = jnp.zeros_like(zero, dtype=jnp.int32)
+        for k, dk in enumerate(dists[1:], start=1):
+            take = dk < best
+            best = jnp.where(take, dk, best)
+            idx = jnp.where(take, jnp.int32(k), idx)
+        return _resolve_fold(o, d, zero, dists, resolvers, best, idx)
+    nodes = [
+        (dk, jnp.full_like(zero, k, dtype=jnp.int32))
+        for k, dk in enumerate(dists)
+    ]
+    while len(nodes) > 1:
+        merged = []
+        for a in range(0, len(nodes) - 1, 2):
+            (da, ia), (db, ib) = nodes[a], nodes[a + 1]
+            take_b = db < da  # ties keep the earlier (left) candidate
+            merged.append(
+                (jnp.where(take_b, db, da), jnp.where(take_b, ib, ia))
+            )
+        if len(nodes) % 2:
+            merged.append(nodes[-1])
+        nodes = merged
+    best, idx = nodes[0]
+    return _resolve_fold(o, d, zero, dists, resolvers, best, idx)
 
+
+_FOLD_TREE = True
+
+
+def _resolve_fold(o, d, zero, dists, resolvers, best, idx):
     hit = best < _FAR * 0.5
     dist = jnp.where(hit, best, 0.0)
     hit_p = o + d * dist  # shared by every sphere resolver
