@@ -339,18 +339,14 @@ def intersect_scene_fast(
     zero = jnp.zeros_like(d.x)
 
     dists = []      # masked distance per candidate, _FAR on miss
-    resolvers = []  # winner-only (mask, dist, hit_p, norm, glow, refl, color) -> updated
-
-    def mat_resolve(mask, mat, glow, refl, color):
-        return (
-            jnp.where(mask, mat.glow, glow),
-            jnp.where(mask, mat.refl_prob, refl),
-            Vec3(
-                jnp.where(mask, mat.color.x, color.x),
-                jnp.where(mask, mat.color.y, color.y),
-                jnp.where(mask, mat.color.z, color.z),
-            ),
-        )
+    # Per-candidate field producers: resolve(dist, hit_p) -> (norm: Vec4,
+    # glow, refl, color: Vec3), computed UNCONDITIONALLY (scalars allowed
+    # — they broadcast through the selects); the winner's fields are
+    # picked by a balanced select tree over the winner index in
+    # _resolve_fold (depth ceil(log2 N) instead of an N-deep masked
+    # chain — the resolver chain sits on the bounce critical path
+    # between the fold and the direction update).
+    resolvers = []
 
     if plane_hints is not None:
         if len(plane_hints) != len(scene.spaces):
@@ -393,15 +389,13 @@ def intersect_scene_fast(
         dist = dot_vn / jnp.where(hit, dn, 1.0)
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, dist, hit_p, norm, glow, refl, color,
-                    n=n, sgn=sgn, hint=hint, mat=sp.material):
+        def resolve(dist, hit_p, n=n, sgn=sgn, hint=hint, mat=sp.material):
             flip = -sgn
             comps = [
                 zero if z else flip * nc
                 for nc, z in zip(n, hint)
             ]
-            norm = Vec4(*comps).where(mask, norm)
-            return (norm, *mat_resolve(mask, mat, glow, refl, color))
+            return Vec4(*comps), mat.glow, mat.refl_prob, mat.color
 
         resolvers.append(resolve)
 
@@ -432,8 +426,7 @@ def intersect_scene_fast(
         dist = dot_vn / jnp.where(hit, d_k, 1.0)
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, dist, hit_p, norm, glow, refl, color,
-                    sgn=sgn, take_a=take_a, axis=axis,
+        def resolve(dist, hit_p, sgn=sgn, take_a=take_a, axis=axis,
                     mat_a=sp_a.material, mat_b=sp_b.material):
             comps = [zero, zero, zero, zero]
             # The ray-facing normal of a double-sided axis plane is
@@ -441,17 +434,14 @@ def intersect_scene_fast(
             # normal's sign (it cancels: -sign(n_k*s)*n_k = -s for
             # |n_k| = 1), so no select over (na, nb) is needed.
             comps[axis] = -sgn
-            norm = Vec4(*comps).where(mask, norm)
-            glow = jnp.where(
-                mask, jnp.where(take_a, mat_a.glow, mat_b.glow), glow)
-            refl = jnp.where(
-                mask, jnp.where(take_a, mat_a.refl_prob, mat_b.refl_prob), refl)
+            glow = jnp.where(take_a, mat_a.glow, mat_b.glow)
+            refl = jnp.where(take_a, mat_a.refl_prob, mat_b.refl_prob)
             color = Vec3(
-                jnp.where(mask, jnp.where(take_a, mat_a.color.x, mat_b.color.x), color.x),
-                jnp.where(mask, jnp.where(take_a, mat_a.color.y, mat_b.color.y), color.y),
-                jnp.where(mask, jnp.where(take_a, mat_a.color.z, mat_b.color.z), color.z),
+                jnp.where(take_a, mat_a.color.x, mat_b.color.x),
+                jnp.where(take_a, mat_a.color.y, mat_b.color.y),
+                jnp.where(take_a, mat_a.color.z, mat_b.color.z),
             )
-            return norm, glow, refl, color
+            return Vec4(*comps), glow, refl, color
 
         resolvers.append(resolve)
 
@@ -485,8 +475,7 @@ def intersect_scene_fast(
         hit = jnp.logical_not(jnp.logical_or(receding, tangent))
         dists.append(jnp.where(hit, dist, _FAR))
 
-        def resolve(mask, dist, hit_p, norm, glow, refl, color,
-                    c=c, r=r, use_near=use_near, mat=s.material):
+        def resolve(dist, hit_p, c=c, r=r, use_near=use_near, mat=s.material):
             inv_r = 1.0 / r  # scalar
             scale = jnp.where(use_near, -inv_r, inv_r)
             nrm = Vec4(
@@ -495,20 +484,15 @@ def intersect_scene_fast(
                 (c.z - hit_p.z) * scale,
                 (c.w - hit_p.w) * scale,
             )
-            return (nrm.where(mask, norm), *mat_resolve(mask, mat, glow, refl, color))
+            return nrm, mat.glow, mat.refl_prob, mat.color
 
         resolvers.append(resolve)
 
     def composite(rec: geo.Intersection):
         dists.append(jnp.where(rec.hit, rec.dist, _FAR))
 
-        def resolve(mask, dist, hit_p, norm, glow, refl, color, rec=rec):
-            return (
-                rec.norm.where(mask, norm),
-                jnp.where(mask, rec.glow, glow),
-                jnp.where(mask, rec.refl_prob, refl),
-                rec.color.where(mask, color),
-            )
+        def resolve(dist, hit_p, rec=rec):
+            return rec.norm, rec.glow, rec.refl_prob, rec.color
 
         resolvers.append(resolve)
 
@@ -519,10 +503,9 @@ def intersect_scene_fast(
     def add_family_face(fam, dist_c, hit_c, flip, r, mat):
         dists.append(jnp.where(hit_c, dist_c, _FAR))
 
-        def resolve(mask, dist, hit_p, norm, glow, refl, color,
-                    fam=fam, r=r, flip=flip, m=mat):
+        def resolve(dist, hit_p, fam=fam, r=r, flip=flip, m=mat):
             nrm = geo._family_norm(fam, dist, r, flip)
-            return (nrm.where(mask, norm), *mat_resolve(mask, m, glow, refl, color))
+            return nrm, m.glow, m.refl_prob, m.color
 
         resolvers.append(resolve)
 
@@ -594,25 +577,19 @@ def intersect_scene_fast(
                     inside = jnp.logical_and(inside, jnp.abs(e) <= r)
                 dists.append(jnp.where(inside, dist_c, _FAR))
 
-                def resolve(mask, dist, hit_p, norm, glow, refl, color,
-                            a=axes[i], pos=pos,
+                def resolve(dist, hit_p, a=axes[i], pos=pos,
                             mat_p=hc.cubes[i].material,
                             mat_n=hc.cubes[4 + i].material):
                     sgn = jnp.where(pos, 1.0, -1.0)
                     nrm = Vec4(sgn * a.x, sgn * a.y, sgn * a.z, sgn * a.w)
-                    norm = nrm.where(mask, norm)
-                    glow = jnp.where(
-                        mask, jnp.where(pos, mat_p.glow, mat_n.glow), glow)
-                    refl = jnp.where(
-                        mask,
-                        jnp.where(pos, mat_p.refl_prob, mat_n.refl_prob),
-                        refl)
+                    glow = jnp.where(pos, mat_p.glow, mat_n.glow)
+                    refl = jnp.where(pos, mat_p.refl_prob, mat_n.refl_prob)
                     color = Vec3(
-                        jnp.where(mask, jnp.where(pos, mat_p.color.x, mat_n.color.x), color.x),
-                        jnp.where(mask, jnp.where(pos, mat_p.color.y, mat_n.color.y), color.y),
-                        jnp.where(mask, jnp.where(pos, mat_p.color.z, mat_n.color.z), color.z),
+                        jnp.where(pos, mat_p.color.x, mat_n.color.x),
+                        jnp.where(pos, mat_p.color.y, mat_n.color.y),
+                        jnp.where(pos, mat_p.color.z, mat_n.color.z),
                     )
-                    return norm, glow, refl, color
+                    return nrm, glow, refl, color
 
                 resolvers.append(resolve)
 
@@ -693,6 +670,13 @@ def intersect_scene_fast(
 
 
 _FOLD_TREE = True
+# Resolver selection: the balanced tree was measured SLOWER than the
+# serial masked chain on the room headline (-2%: all candidates' field
+# sets stay live until the tree's root, and the extra register pressure
+# costs more than the saved select depth — the opposite tradeoff from
+# the dist fold, whose per-candidate state is one array). Chain default;
+# the tree stays for A/B.
+_RESOLVE_TREE = False
 
 
 def _resolve_fold(o, d, zero, dists, resolvers, best, idx):
@@ -700,12 +684,48 @@ def _resolve_fold(o, d, zero, dists, resolvers, best, idx):
     dist = jnp.where(hit, best, 0.0)
     hit_p = o + d * dist  # shared by every sphere resolver
 
-    norm = Vec4(zero, zero, zero, zero)
-    glow, refl = zero, zero
-    color = Vec3(zero, zero, zero)
-    for k, resolve in enumerate(resolvers):
-        mask = jnp.logical_and(hit, idx == k)
-        norm, glow, refl, color = resolve(mask, dist, hit_p, norm, glow, refl, color)
+    outs = [r(dist, hit_p) for r in resolvers]
+
+    if not _RESOLVE_TREE:  # A/B switch: the serial masked chain
+        norm = Vec4(zero, zero, zero, zero)
+        glow, refl = zero, zero
+        color = Vec3(zero, zero, zero)
+        for k, (nk, gk, rk, ck) in enumerate(outs):
+            mask = jnp.logical_and(hit, idx == k)
+            norm = nk.where(mask, norm)
+            glow = jnp.where(mask, gk, glow)
+            refl = jnp.where(mask, rk, refl)
+            color = ck.where(mask, color)
+        return geo.Intersection(hit, dist, norm, glow, refl, color)
+
+    # Balanced select tree over the winner index: equals "the fields of
+    # resolver[idx]" exactly (the masks of the old serial chain were
+    # disjoint), at depth ceil(log2 N) instead of N selects on the
+    # bounce-critical path. Scalar fields (plane/face materials)
+    # broadcast lazily through the selects.
+    def pick(lo, hi):
+        if hi - lo == 1:
+            return outs[lo]
+        mid = (lo + hi) // 2
+        left = pick(lo, mid)
+        right_out = pick(mid, hi)
+        right = idx >= mid
+        return (
+            right_out[0].where(right, left[0]),
+            jnp.where(right, right_out[1], left[1]),
+            jnp.where(right, right_out[2], left[2]),
+            right_out[3].where(right, left[3]),
+        )
+
+    norm, glow, refl, color = pick(0, len(resolvers))
+    # Miss lanes keep all-zero fields, exactly like the old chain's
+    # untouched initial accumulators.
+    zero3 = Vec3(zero, zero, zero)
+    zero4 = Vec4(zero, zero, zero, zero)
+    norm = norm.where(hit, zero4)
+    glow = jnp.where(hit, glow, 0.0)
+    refl = jnp.where(hit, refl, 0.0)
+    color = color.where(hit, zero3)
     return geo.Intersection(hit, dist, norm, glow, refl, color)
 
 
