@@ -429,3 +429,46 @@ def test_soft_pallas_train_step():
         scene, opt_state, loss, _m = step(scene, opt_state, np.uint32(SEED), target)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses
+
+
+@pytest.mark.slow
+def test_soft_pallas_with_frozen_hints_and_dropped_objects():
+    """soft_image_loss_pallas composes with with_frozen_hints: the
+    without-object render gets statically REMAPPED hints
+    (diff._hints_for_dropped) — dropping a sphere keeps the wall hints,
+    dropping a wall drops its plane_hints row and disables the pair
+    fold. Loss finite + frozen leaves zero + target-param grads flow."""
+    from fourd_ray_tracing_tpu.diff import (
+        soft_image_loss_pallas,
+        with_frozen_hints,
+    )
+    from fourd_ray_tracing_tpu.models import library
+
+    scene = library.room_with_sphere()
+    camera = default_camera()
+    # bounces >= 2: at 1 bounce this viewpoint never reaches the lamp
+    # and the room renders black (no environment).
+    cfg = RenderConfig(width=32, height=20, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    cfg = with_frozen_hints(cfg, scene)
+    assert cfg.plane_hints is not None and cfg.plane_pairs is not None
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    for ref in (("spheres", 0), ("spaces", 0)):
+        loss, grads = jax.value_and_grad(
+            lambda s: soft_image_loss_pallas(s, camera, cfg, SEED, target,
+                                             ref, 0.08)
+        )(scene)
+        assert float(loss) > 0.0
+        flat = np.concatenate([
+            np.asarray(l).reshape(-1)
+            for l in jax.tree_util.tree_leaves(grads)
+        ])
+        assert np.isfinite(flat).all()
+        assert np.abs(flat).max() > 1e-8
+        # freeze contract holds through the soft path: every wall
+        # normal's gradient is exactly zero.
+        for sp in grads.spaces:
+            assert all(
+                float(np.abs(np.asarray(c)).max()) == 0.0 for c in sp.norm
+            )
