@@ -256,7 +256,8 @@ class CaptureState:
 
 def make_preview(engine: RenderEngine, upscale: dict | None = None,
                  cap: "CaptureState | None" = None, meter: Meter | None = None,
-                 port: int = 0, fps: float = 10.0, text_size: int = 24):
+                 port: int = 0, fps: float = 10.0, text_size: int = 24,
+                 on_command=None):
     """Live HTTP preview of every window (utils/viewer.PreviewServer —
     the reference's on-screen display, main.cpp:79-106, as a stream).
     The callback snapshots the newest accumulation buffer per request
@@ -292,7 +293,8 @@ def make_preview(engine: RenderEngine, upscale: dict | None = None,
             img = np.repeat(np.repeat(img, s, axis=0), s, axis=1)
         return to_uint8(img)
 
-    return PreviewServer(get_frame, views=views, port=port, fps=fps)
+    return PreviewServer(get_frame, views=views, port=port, fps=fps,
+                         on_command=on_command)
 
 
 def interactive_loop(
@@ -300,12 +302,35 @@ def interactive_loop(
     min_frame_seconds: float = 0.0, serve_port: int | None = None,
     serve_fps: float = 10.0,
 ) -> None:
+    """Interactive session. Commands arrive on a queue fed by BOTH stdin
+    (a reader thread) and, with ``serve_port``, the preview page's
+    browser input (utils/viewer.py POST /cmd) — all engine stepping
+    stays in THIS thread. While the preview is live and the cursor is
+    captured, the loop free-runs the progressive accumulation between
+    commands (the reference's `while window.isOpen()` render loop,
+    main.cpp:79-106, paced by max_fps); without a preview it blocks on
+    the next command exactly like before. stdin EOF ends the session
+    unless a preview is serving (browser-only sessions: pipe /dev/null
+    and drive everything from the page)."""
+    import queue
+    import threading
+
     meter = Meter()
     cap = CaptureState()
+    cmds: "queue.Queue" = queue.Queue()
+    _EOF = object()
+
+    def stdin_reader():
+        for line in sys.stdin:
+            cmds.put(line)
+        cmds.put(_EOF)
+
+    threading.Thread(target=stdin_reader, daemon=True).start()
     preview = None
     if serve_port is not None:
         preview = make_preview(engine, upscale, cap, meter,
-                               port=serve_port, fps=serve_fps)
+                               port=serve_port, fps=serve_fps,
+                               on_command=cmds.put)
         if preview is not None:
             log0(f"live preview at {preview.url}")
 
@@ -326,7 +351,21 @@ def interactive_loop(
         "interactive; commands: capture, escape, w/s/a/d/space/c/e/q, "
         "mouse, wheel, look, frames, save, stats, quit"
     )
-    for line in sys.stdin:
+    while True:
+        if preview is not None and cap.captured:
+            # Captured + serving: free-run the accumulation between
+            # commands so the browser watches it converge live.
+            try:
+                line = cmds.get_nowait()
+            except queue.Empty:
+                frames(1)
+                continue
+        else:
+            line = cmds.get()
+        if line is _EOF:
+            if preview is None:
+                break
+            continue  # browser can still drive the session
         parts = line.strip().split()
         if not parts:
             continue

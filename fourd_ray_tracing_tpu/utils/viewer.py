@@ -13,13 +13,23 @@ presentation layer streams instead: `PreviewServer` serves
                browser renders it) at up to ``fps`` parts/second
   /frame.png?view=yxz
                the current frame once (curl-able)
+  POST /cmd    one interactive command line (the same grammar as the
+               stdin loop: capture, escape, w/a/s/d/space/c/e/q,
+               mouse DX DY, wheel D, frames N, …), forwarded to the
+               app's command queue — the index page's JavaScript turns
+               real browser input into these: click = mouse capture
+               (Pointer Lock), Escape = release, WASD/Space/C/E/Q =
+               movement, captured mouse movement = mouse-look, wheel =
+               psi. The browser becomes the reference's interactive
+               window (controls.cpp:167-215), steering AND watching.
 
 The server owns NOTHING: it pulls frames through a ``get_frame(view)``
 callback supplied by the app (which applies the upscale sprite blit and
-the capture-gated FPS overlay exactly like the PNG path), so the render
-loop stays single-threaded and the stream just observes the newest
-accumulation buffer. Frames are encoded per-connection at
-compress_level 1 — on a localhost stream encode speed beats size.
+the capture-gated FPS overlay exactly like the PNG path) and pushes
+command lines through ``on_command`` (which must only ENQUEUE — the
+render loop stays single-threaded in the app's main thread). Frames are
+encoded per-connection at compress_level 1 — on a localhost stream
+encode speed beats size.
 
 stdlib-only (http.server + threading): nothing to install, works
 through an SSH port-forward to the TPU host.
@@ -39,11 +49,42 @@ from fourd_ray_tracing_tpu.utils.image import encode_png
 _PAGE = """<!doctype html>
 <html><head><title>fourd_ray_tracing_tpu</title>
 <style>body{{background:#111;color:#ddd;font:14px monospace;text-align:center}}
-img{{image-rendering:pixelated;margin:6px;border:1px solid #333}}</style>
-</head><body><h3>fourd_ray_tracing_tpu &mdash; live accumulation</h3>
+img{{image-rendering:pixelated;margin:6px;border:1px solid #333}}
+#s{{color:#8a8}}</style>
+</head><body><h3>fourd_ray_tracing_tpu &mdash; live</h3>
 {imgs}
-<p>progressive mean while the camera is still; resets on motion
-(main.cpp:87, controls.cpp:132)</p></body></html>"""
+<p id="s">click the main window to capture the mouse (Esc releases);
+WASD/Space/C move, E/Q slide along w, wheel rotates psi &mdash;
+controls.cpp:167-215 in a browser</p>
+<script>
+const send = l => fetch('/cmd', {{method: 'POST', body: l}});
+const img = document.querySelector('img');
+let captured = false, dx = 0, dy = 0;
+img.onclick = () => img.requestPointerLock();
+document.addEventListener('pointerlockchange', () => {{
+  captured = document.pointerLockElement === img;
+  send(captured ? 'capture' : 'escape');
+  document.getElementById('s').textContent =
+    captured ? 'captured - Esc to release' : 'click the main window to capture';
+}});
+document.addEventListener('mousemove', e => {{
+  if (captured) {{ dx += e.movementX; dy -= e.movementY; }}
+}});
+setInterval(() => {{
+  if (captured && (dx || dy)) {{
+    send(`mouse ${{dx}} ${{dy}}`); dx = 0; dy = 0;
+  }}
+}}, 60);
+const keymap = {{w:'w', a:'a', s:'s', d:'d', ' ':'space', c:'c',
+                e:'e', q:'q'}};
+document.addEventListener('keydown', e => {{
+  if (captured && keymap[e.key]) {{ send(keymap[e.key] + ' 0.1');
+                                    e.preventDefault(); }}
+}});
+document.addEventListener('wheel', e => {{
+  if (captured) send(`wheel ${{e.deltaY > 0 ? -1 : 1}}`);
+}});
+</script></body></html>"""
 
 
 class PreviewServer:
@@ -58,8 +99,10 @@ class PreviewServer:
         host: str = "127.0.0.1",
         port: int = 0,
         fps: float = 10.0,
+        on_command: Callable[[str], None] | None = None,
     ):
         self._get_frame = get_frame
+        self._on_command = on_command
         self.views = tuple(views)
         self.fps = float(fps)
         outer = self
@@ -120,6 +163,16 @@ class PreviewServer:
                         pass
                 else:
                     self.send_error(404)
+
+            def do_POST(self):  # noqa: N802 (stdlib API name)
+                if urlparse(self.path).path != "/cmd" or outer._on_command is None:
+                    self.send_error(404)
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                line = self.rfile.read(min(n, 256)).decode("utf-8", "replace")
+                outer._on_command(line.strip())
+                self.send_response(204)
+                self.end_headers()
 
         self._closed = False
         self._httpd = ThreadingHTTPServer((host, port), Handler)

@@ -431,3 +431,55 @@ def test_interactive_serve_flag(tiny_config, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "live preview at http://" in out
+
+
+@pytest.mark.slow
+def test_browser_command_channel(tiny_config, tmp_path):
+    """The preview page's command channel (POST /cmd): a subprocess app
+    with stdin at EOF is driven entirely over HTTP — capture, move,
+    release, quit — exactly like the page's JavaScript does."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import time
+    import urllib.request
+    from pathlib import Path as _P
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = _P(__file__).resolve().parent.parent
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "fourd_ray_tracing_tpu",
+         "--config", str(tiny_config), "--interactive", "--deterministic",
+         "--serve", str(port), "--out", str(tmp_path / "o")],
+        stdin=subprocess.DEVNULL, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, cwd=repo,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    base = f"http://127.0.0.1:{port}/"
+    try:
+        for _ in range(150):  # wait for the server (imports + jit warmup)
+            try:
+                urllib.request.urlopen(base, timeout=1)
+                break
+            except Exception:
+                time.sleep(0.2)
+                assert proc.poll() is None, proc.stdout.read()[-2000:]
+
+        def post(line):
+            req = urllib.request.Request(
+                base + "cmd", data=line.encode(), method="POST"
+            )
+            assert urllib.request.urlopen(req, timeout=10).status == 204
+
+        post("capture")
+        post("w 0.1")
+        post("escape")
+        post("quit")
+        out, _ = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    assert "cursor captured" in out and "cursor released" in out
