@@ -351,17 +351,33 @@ def interactive_loop(
         "interactive; commands: capture, escape, w/s/a/d/space/c/e/q, "
         "mouse, wheel, look, frames, save, stats, quit"
     )
+    idle = 0
     while True:
         if preview is not None and cap.captured:
             # Captured + serving: free-run the accumulation between
-            # commands so the browser watches it converge live.
+            # commands so the browser watches it converge live. After a
+            # few single responsive frames, idle stretches batch 8
+            # frames per dispatch (engine.step_frames — bit-identical,
+            # one launch): per-frame dispatch through a remote tunnel
+            # caps free-running at ~9 fps while the kernel itself is
+            # ~10x faster.
             try:
                 line = cmds.get_nowait()
+                idle = 0
             except queue.Empty:
-                frames(1)
+                idle += 1
+                n = 8 if idle > 8 else 1
+                t0 = time.perf_counter()
+                with meter.measure(engine.rays_per_frame() * n, frames=n) as h:
+                    h["result"] = engine.step_frames(n)
+                cap.frame_rendered()
+                leftover = min_frame_seconds * n - (time.perf_counter() - t0)
+                if leftover > 0:
+                    time.sleep(leftover)
                 continue
         else:
             line = cmds.get()
+            idle = 0
         if line is _EOF:
             if preview is None:
                 break
