@@ -320,3 +320,46 @@ def test_sharded_loss_and_grad_matches_single_device():
         np.testing.assert_allclose(
             _flat_grads(gs_n), _flat_grads(gs_1), rtol=1e-4, atol=1e-9
         )
+
+
+def test_freeze_hint_grads_all_branches():
+    """models.scene.freeze_hint_grads zeroes exactly the frozen leaves
+    (space norms; hinted cylinder/union/hypercube/tiger axes) and
+    nothing else, for every primitive family."""
+    from fourd_ray_tracing_tpu.models.scene import (
+        axis_alignment_hints,
+        freeze_hint_grads,
+        plane_norm_hints,
+    )
+
+    for scene_name in ("room_with_sphere", "duocylinder", "tiger", "hypercube"):
+        scene = library.SCENES[scene_name]()
+        hints = plane_norm_hints(scene)
+        ah = axis_alignment_hints(scene)
+        ones = jax.tree_util.tree_map(jnp.ones_like, scene)
+        frozen = freeze_hint_grads(ones, hints, ah)
+
+        if hints is not None:
+            for sp in frozen.spaces:
+                assert all(float(np.asarray(c)) == 0.0 for c in sp.norm), scene_name
+        # points/materials stay untouched
+        for sp in frozen.spaces:
+            assert all(float(np.asarray(c)) == 1.0 for c in sp.point), scene_name
+            assert float(np.asarray(sp.material.glow)) == 1.0
+        for s in frozen.spheres:
+            assert float(np.asarray(s.r)) == 1.0
+
+        if ah is not None and ah.cylinders_union is not None:
+            for c in frozen.cylinders_union:
+                assert all(float(np.asarray(x)) == 0.0 for x in c.axis1), scene_name
+                assert all(float(np.asarray(x)) == 0.0 for x in c.axis2), scene_name
+                assert float(np.asarray(c.r)) == 1.0  # radius NOT frozen
+        if ah is not None and ah.tiger is not None:
+            tg = frozen.tiger
+            for c in (tg.inner_cyl1, tg.outer_cyl1, tg.inner_cyl2, tg.outer_cyl2):
+                assert all(float(np.asarray(x)) == 0.0 for x in c.axis1), scene_name
+                assert float(np.asarray(c.r)) == 1.0
+        if ah is not None and ah.hypercube is not None:
+            for a in frozen.hypercube.axes:
+                assert all(float(np.asarray(x)) == 0.0 for x in a), scene_name
+            assert float(np.asarray(frozen.hypercube.r)) == 1.0
