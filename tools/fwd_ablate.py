@@ -21,7 +21,12 @@ Each variant is compiled separately and timed in consecutive rounds
 discipline); the baseline is re-timed at the end to bound tunnel phase
 drift across the run. Output: one JSON line per variant.
 
-Usage: python tools/fwd_ablate.py [width height samples bounces]
+ABLATE_SCENE selects the workload (default room_with_sphere; tiger and
+the other library scenes work too — the scene-structure variants are
+derived generically by emptying one primitive group at a time, e.g.
+drop_spheres on the room is round 3's "walls_only").
+
+Usage: [ABLATE_SCENE=tiger] python tools/fwd_ablate.py [width height samples bounces]
 """
 from __future__ import annotations
 
@@ -96,7 +101,8 @@ def main():
         rng_mode="per_sample", intersect="fast", tile_sublanes=32,
         bounce_loop="unroll",
     )
-    room = library.room_with_sphere()
+    scene_name = os.environ.get("ABLATE_SCENE", "room_with_sphere")
+    room = library.SCENES[scene_name]()
     camera = bench.default_camera()
     rays = w * h * s * FPL
 
@@ -133,15 +139,24 @@ def main():
 
     import dataclasses
 
-    walls_only = room._replace(spheres=())
-    floor_spheres = room._replace(spaces=room.spaces[:1])
-
     run("baseline")
     run("sampler_const", sampler=True)
     run("rng_const", rngc=True)
     run("both_const", sampler=True, rngc=True)
-    run("walls_only", scene=walls_only)
-    run("floor_spheres", scene=floor_spheres)
+    # Scene-structure variants: empty one primitive group at a time
+    # (the delta attributes that group's fold candidates). drop_spheres
+    # on the room is round 3's "walls_only"; drop_spaces leaves the
+    # composite primitive alone on tiger/hypercube/duocylinder.
+    empties = {"spaces": (), "spheres": (), "cylinders": (),
+               "cylinders_union": None, "hypercube": None, "tiger": None}
+    for field, empty in empties.items():
+        if not getattr(room, field):
+            continue
+        # keep at least one candidate: skip if emptying leaves nothing
+        variant = room._replace(**{field: empty})
+        if not any(getattr(variant, f) for f in empties):
+            continue
+        run(f"drop_{field}", scene=variant)
     for k in (0, 1, 2):
         run(f"bounces_{k}", cfg_=dataclasses.replace(cfg, reflections_amount=k))
     run("baseline_recheck")
