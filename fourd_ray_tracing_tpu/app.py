@@ -272,11 +272,32 @@ def make_preview(engine: RenderEngine, upscale: dict | None = None,
     from fourd_ray_tracing_tpu.utils.viewer import PreviewServer
 
     views = [v for g in engine.groups for v in g.views]
+    last_good: dict = {}
+
+    def _snapshot(g):
+        # The render loop DONATES each group's accumulation buffer to
+        # the next jitted step (engine._ViewGroup), so a server thread's
+        # d2h copy can race the donation and raise "Array has been
+        # deleted". Grab the newest reference and retry; fall back to
+        # the last good frame if the race keeps winning.
+        for _ in range(3):
+            try:
+                return np.asarray(g.accum)
+            except Exception:
+                continue
+        return None
 
     def get_frame(view: str) -> np.ndarray:
         for g in engine.groups:
             if view in g.views:
-                acc = np.asarray(g.accum)
+                acc = _snapshot(g)
+                if acc is None:
+                    if view in last_good:
+                        return last_good[view]
+                    acc = np.zeros(
+                        ((len(g.views),) if len(g.views) > 1 else ())
+                        + (g.cfg.height, g.cfg.width, 3), np.float32,
+                    )
                 img = acc if acc.ndim == 3 else acc[g.views.index(view)]
                 break
         else:  # pragma: no cover - PreviewServer validates views
@@ -291,7 +312,9 @@ def make_preview(engine: RenderEngine, upscale: dict | None = None,
         s = (upscale or {}).get(view, 1)
         if s > 1:
             img = np.repeat(np.repeat(img, s, axis=0), s, axis=1)
-        return to_uint8(img)
+        out = to_uint8(img)
+        last_good[view] = out
+        return out
 
     return PreviewServer(get_frame, views=views, port=port, fps=fps,
                          on_command=on_command)
