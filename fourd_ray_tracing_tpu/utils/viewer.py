@@ -169,8 +169,13 @@ class PreviewServer:
                     self.send_error(404)
                     return
                 n = int(self.headers.get("Content-Length", 0))
-                line = self.rfile.read(min(n, 256)).decode("utf-8", "replace")
-                outer._on_command(line.strip())
+                if n > 1024:
+                    # Reject instead of truncating: unread body bytes
+                    # would desync keep-alive request parsing.
+                    self.send_error(413)
+                    return
+                line = self.rfile.read(n).decode("utf-8", "replace")
+                outer._on_command(line.strip()[:256])
                 self.send_response(204)
                 self.end_headers()
 
