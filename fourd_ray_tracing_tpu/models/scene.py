@@ -594,11 +594,25 @@ def intersect_scene_fast(
                 resolvers.append(resolve)
 
     if scene.tiger is not None:
-        # 8 tiger faces as direct fold candidates with the two family
-        # projections AND the per-radius circle tests shared: one
-        # disc/sqrt per (family, radius) covers both its outer∈{T,F}
-        # faces (geo._family_circle), in the reference's face order
-        # (shader.frag:328-335).
+        # 4 merged tiger candidates (VERDICT r4 #4): the two family
+        # projections and the per-radius circle tests are shared as
+        # before (geo._family_circle), and additionally each (family,
+        # radius)'s outer∈{T,F} face PAIR folds as ONE candidate. Why
+        # this is bitwise-exact vs the 8-face fold (shader.frag:328-335):
+        #   * origin outside the circle (use_near_outer): the outer face
+        #     sits at the near root, the inner at the far root, and
+        #     near < far strictly whenever the circle hits (tangency is
+        #     masked out) — so if the near face passes the annulus clip
+        #     it beats the far face in ANY fold; otherwise the pair's
+        #     only live candidate is the far face (flip=False).
+        #   * origin inside the circle: both faces sit at the far root
+        #     with identical clip and flip=False — literal duplicates
+        #     the old fold carried twice.
+        # The merged record (dist, hit, flip) therefore equals the old
+        # pair's fold winner lane-for-lane, at half the fold/resolver
+        # candidates; both clip evaluations (near and far) remain, same
+        # as before. Candidate order (A:r_in, A:r_out, B:r_in, B:r_out)
+        # preserves the reference's tie order between pairs.
         tg = scene.tiger
         ta, tb = ah.tiger or (None, None)
         fam_a = _make_family(
@@ -618,18 +632,21 @@ def intersect_scene_fast(
             o_in2, o_out2 = o_in * o_in, o_out * o_out
             for r in (r_in, r_out):
                 near, far, hit_c, use_near_outer = geo._family_circle(fam, r)
-                for outer in (True, False):
-                    if outer:
-                        dist_c = jnp.where(use_near_outer, near, far)
-                        flip = use_near_outer
-                    else:
-                        dist_c = far
-                        flip = None  # never flipped: use_near is all-false
-                    clip_sq = geo._family_clip_sq(other, dist_c)
-                    keep = jnp.logical_and(clip_sq <= o_out2, clip_sq >= o_in2)
-                    add_family_face(
-                        fam, dist_c, jnp.logical_and(hit_c, keep), flip, r, mat
-                    )
+                clip_near = geo._family_clip_sq(other, near)
+                clip_far = geo._family_clip_sq(other, far)
+                keep_near = jnp.logical_and(
+                    clip_near <= o_out2, clip_near >= o_in2
+                )
+                keep_far = jnp.logical_and(
+                    clip_far <= o_out2, clip_far >= o_in2
+                )
+                take_near = jnp.logical_and(use_near_outer, keep_near)
+                dist_c = jnp.where(take_near, near, far)
+                keep = jnp.logical_or(take_near, keep_far)
+                add_family_face(
+                    fam, dist_c, jnp.logical_and(hit_c, keep), take_near,
+                    r, mat,
+                )
 
     if not dists:
         return geo.miss_like(d.x)
