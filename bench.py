@@ -249,7 +249,8 @@ def run_forward_workload(name, scene_name, width, height, samples, bounces,
 
 
 def run_grad_workload(width, height, samples, bounces, impl="pallas",
-                      workload="inverse_step"):
+                      workload="inverse_step", scene_name="room_with_sphere",
+                      views=("yxz",)):
     """Inverse-rendering step: loss + full scene gradient. ``impl``:
 
     * "pallas" — the value-and-grad megakernel (one launch computes loss
@@ -265,9 +266,11 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
         sampler_method=SAMPLER, rng_mode="per_sample", intersect="fast",
         tile_sublanes=TILE_SUBLANES,
     )
-    scene = library.SCENES["room_with_sphere"]()
-    camera = default_camera()
-    target = jnp.zeros((height, width, 3), jnp.float32)
+    scene = library.SCENES[scene_name]()
+    camera = default_camera(views)
+    tshape = ((height, width, 3) if len(views) == 1
+              else (len(views), height, width, 3))
+    target = jnp.zeros(tshape, jnp.float32)
 
     if impl == "pallas":
         from fourd_ray_tracing_tpu.diff import with_frozen_hints
@@ -302,7 +305,7 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
             loss, grads = jvg(scene, seed)
             return loss
 
-    rays = width * height * samples
+    rays = len(views) * width * height * samples
     loss = jax.block_until_ready(fn(np.uint32(1)))
     assert bool(jnp.isfinite(loss)), "non-finite loss in grad bench"
     # Queue FRAMES dispatches per round (not FRAMES//4): the eager grad
@@ -311,12 +314,12 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
     lo, med, hi = time_rounds(fn, rays, frames=FRAMES)
     payload = {
         "metric": "grad_rays_per_second", "workload": workload,
-        "scene": "room_with_sphere", "impl": impl,
+        "scene": scene_name, "impl": impl,
         "value": med, "min": lo, "max": hi,
         "unit": "rays/s", "rays_per_frame": rays,
         "vs_baseline": med / TARGET_RAYS_PER_S,
     }
-    fpr = grad_flops_per_ray(cfg)
+    fpr = grad_flops_per_ray(cfg, scene_name, views)
     if fpr is not None:
         # FLOPs/ray comes from XLA's cost analysis of the jnp
         # value-and-grad PIPELINE; the Pallas kernel executes a different
@@ -338,10 +341,19 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
     (value-and-grad megakernel + adam update, scene evolving) scanned
     inside ONE jit — the production train-loop shape, with zero per-step
     host dispatch. Complements inverse_step, which measures a single
-    eagerly-dispatched value_and_grad call."""
+    eagerly-dispatched value_and_grad call.
+
+    Runs the PACKED-space step (diff.make_packed_train_step): adam on
+    the kernel's flat parameter vector instead of the ~150-leaf scene
+    pytree. tools/train_ablate.py attributed ~2.0 ms/step to per-leaf
+    adam launches and ~0.5 ms to the gradient rebuild at this workload —
+    packed space removes both; updates are bitwise the pytree step's."""
     import optax
 
-    from fourd_ray_tracing_tpu.diff import pallas_image_loss, with_frozen_hints
+    from fourd_ray_tracing_tpu.diff import (
+        make_packed_train_step,
+        with_frozen_hints,
+    )
 
     cfg = RenderConfig(
         width=width, height=height, samples=samples,
@@ -355,27 +367,22 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
     target = jnp.zeros((height, width, 3), jnp.float32)
     opt = optax.adam(1e-3)
 
-    def one_step(carry, seed):
-        scene, opt_state = carry
-        loss, grads = jax.value_and_grad(pallas_image_loss)(
-            scene, camera, cfg, seed, target
-        )
-        updates, opt_state = opt.update(grads, opt_state, scene)
-        scene = optax.apply_updates(scene, updates)
-        return (scene, opt_state), loss
+    step, init, _unpack = make_packed_train_step(cfg, opt, camera, scene0)
+    vec0, opt_state0 = init(scene0)
 
     @jax.jit
-    def run_k(scene, opt_state, seeds):
-        (scene, opt_state), losses = jax.lax.scan(
-            one_step, (scene, opt_state), seeds
-        )
-        return losses[-1]
+    def run_k(vec, opt_state, seeds):
+        def body(carry, seed):
+            vec, opt_state = carry
+            vec, opt_state, loss = step(vec, opt_state, seed, target)
+            return (vec, opt_state), loss
 
-    opt_state0 = opt.init(scene0)
+        (vec, opt_state), losses = jax.lax.scan(body, (vec, opt_state), seeds)
+        return losses[-1]
 
     def fn(seed):
         seeds = jnp.uint32(seed) * np.uint32(k) + jnp.arange(k, dtype=jnp.uint32)
-        return run_k(scene0, opt_state0, seeds)
+        return run_k(vec0, opt_state0, seeds)
 
     rays = width * height * samples * k
     loss = jax.block_until_ready(fn(np.uint32(1)))
@@ -439,7 +446,7 @@ def run_soft_train_workload(width, height, samples, bounces):
     return med
 
 
-def grad_flops_per_ray(cfg):
+def grad_flops_per_ray(cfg, scene_name="room_with_sphere", views=("yxz",)):
     """XLA cost analysis of the jnp value-and-grad at tiny resolution ->
     FLOPs per traced forward path of the full loss+gradient step (the
     Pallas grad kernel runs the same estimator's derivative)."""
@@ -449,9 +456,11 @@ def grad_flops_per_ray(cfg):
         from fourd_ray_tracing_tpu.diff import image_loss
 
         small = dataclasses.replace(cfg, width=64, height=32, remat=False)
-        scene = library.SCENES["room_with_sphere"]()
-        camera = default_camera()
-        target = jnp.zeros((small.height, small.width, 3), jnp.float32)
+        scene = library.SCENES[scene_name]()
+        camera = default_camera(views)
+        tshape = ((small.height, small.width, 3) if len(views) == 1
+                  else (len(views), small.height, small.width, 3))
+        target = jnp.zeros(tshape, jnp.float32)
         compiled = (
             jax.jit(
                 lambda s, seed: jax.value_and_grad(image_loss)(
@@ -464,7 +473,7 @@ def grad_flops_per_ray(cfg):
         if isinstance(analysis, list):
             analysis = analysis[0]
         flops = float(analysis.get("flops", 0.0))
-        rays = small.width * small.height * small.samples
+        rays = len(views) * small.width * small.height * small.samples
         return flops / rays if flops > 0 else None
     except Exception:
         return None
@@ -538,6 +547,11 @@ def main():
                       impl=grad_impl)
     if grad_impl == "pallas":
         run_train_scan_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
+        # The heaviest scene through the grad kernel (VERDICT r4 #3):
+        # pass 2 unrolls the reverse bounce loop over the tiger fold.
+        run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES,
+                          impl="pallas", workload="inverse_step_tiger",
+                          scene_name="tiger")
         run_soft_train_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
         run_grad_workload(grad_xla_res[0], grad_xla_res[1], SAMPLES, BOUNCES,
                           impl="xla", workload="inverse_step_xla")

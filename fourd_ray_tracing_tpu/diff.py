@@ -368,6 +368,14 @@ def with_frozen_hints(cfg: RenderConfig, scene: Scene) -> RenderConfig:
     )
 
     cfg = dataclasses.replace(cfg, freeze_hints=True)
+    if cfg.grad_sample_chunk == 1:
+        # Pass-2 sample chunking (RenderConfig.grad_sample_chunk): the
+        # largest divisor of samples <= 8 — measured monotone gains to
+        # G=8 with no VMEM spill on v5e at 8 spp; capped at 8 as the
+        # tested envelope for high-spp configs.
+        g = max(g for g in range(1, min(cfg.samples, 8) + 1)
+                if cfg.samples % g == 0)
+        cfg = dataclasses.replace(cfg, grad_sample_chunk=g)
     if cfg.intersect != "fast":
         return cfg
     if cfg.plane_hints is None:
@@ -650,6 +658,62 @@ def make_train_step(
         return scene, opt_state, loss, {"loss": loss, "grad_norm": grad_norm}
 
     return step
+
+
+def make_packed_train_step(
+    cfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    camera: Camera,
+    scene_template: Scene,
+):
+    """The PRODUCTION train loop: the value-and-grad megakernel with the
+    optimizer running in packed vector space (VERDICT r4 #1).
+
+    `make_train_step(impl="pallas")` leaves packed space between the
+    kernel and the optimizer: the gradient is rebuilt into a ~150-leaf
+    scene pytree and adam runs per leaf — measured ~2.0 ms/step of
+    per-leaf kernel launches plus ~0.5 ms of rebuild slices at the
+    north-star workload (tools/train_ablate.py), on a ~13 ms step. This
+    variant keeps the whole training state as the kernel's own flat
+    (n_scene,) vector: one fused adam chain, no rebuild in the loop.
+    Updates are BITWISE the pytree step's (optimizer math is
+    elementwise; tests/test_gradkernel.py::
+    test_packed_train_step_matches_pytree).
+
+    Returns ``(step, init, unpack)``:
+
+    * ``init(scene) -> (scene_vec, opt_state)``
+    * ``step(scene_vec, opt_state, seed, target) ->
+      (scene_vec, opt_state, loss)`` — jitted; scan-friendly
+    * ``unpack(scene_vec) -> Scene`` — materialize the pytree (for
+      checkpointing / rendering outside the loop)
+
+    ``cfg`` should come from `with_frozen_hints` (as for the pytree
+    path); ``scene_template`` fixes the static scene structure.
+    """
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        make_packed_loss_and_grad,
+    )
+
+    loss_and_grad, vec0, unpack = make_packed_loss_and_grad(
+        scene_template, camera, cfg
+    )
+
+    def init(scene: Scene):
+        leaves = jax.tree_util.tree_leaves(scene)
+        vec = jnp.concatenate([
+            jnp.asarray(l, jnp.float32).reshape(-1) for l in leaves
+        ])
+        return vec, optimizer.init(vec)
+
+    @jax.jit
+    def step(scene_vec, opt_state, seed, target):
+        loss, g = loss_and_grad(scene_vec, seed, target)
+        updates, opt_state = optimizer.update(g, opt_state, scene_vec)
+        scene_vec = optax.apply_updates(scene_vec, updates)
+        return scene_vec, opt_state, loss
+
+    return step, init, unpack
 
 
 def finite_difference_grad(

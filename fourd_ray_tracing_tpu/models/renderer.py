@@ -132,6 +132,19 @@ class RenderConfig:
     # their cotangents w.r.t. the remaining parameters are unchanged.
     # Use diff.with_frozen_hints(cfg, scene) to derive + enable.
     freeze_hints: bool = False
+    # Samples per jax.vjp call in the grad kernel's pass-2 reverse sweep
+    # (ops/pallas/gradkernel.py). G > 1 shares ONE envelope recompute
+    # (primary rays + bounce-0 intersection) across G samples' reverse
+    # traces — the envelope's forward AND backward run once per chunk
+    # with the accumulated cotangent (vjp is linear in cotangents, so
+    # gradients equal G=1 up to float re-association; measured <2e-7
+    # rel). Cost: ~G x trace residuals live in VMEM at once. Measured on
+    # v5e (room 1280x720x8spp x4, frozen hints): G=2 +4.5%, G=4 +5%,
+    # G=8 +6.8% grad-kernel step — no spill through G=8, so the
+    # production builder (diff.with_frozen_hints) picks the largest
+    # divisor of ``samples`` that is <= 8. ``samples`` must be divisible
+    # by G.
+    grad_sample_chunk: int = 1
 
 
 def screen_coords(cfg: RenderConfig, row0=0, n_rows: int | None = None):

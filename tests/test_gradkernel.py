@@ -41,9 +41,16 @@ def _flat_grads(tree):
     return np.concatenate([np.asarray(l, np.float32).reshape(-1) for l in leaves])
 
 
-@pytest.mark.parametrize("scene_name", ["sphere_plane_light", "room_with_sphere"])
+@pytest.mark.parametrize(
+    "scene_name",
+    ["sphere_plane_light", "room_with_sphere", "duocylinder", "tiger",
+     "hypercube"],
+)
 @pytest.mark.slow
 def test_gradkernel_matches_jnp_grads(scene_name):
+    """All 5 canonical scenes differentiate through the kernel (VERDICT
+    r4 #3: tiger's 8-face fold and the hypercube's paired cells unroll
+    through pass 2's reverse bounce loop too)."""
     scene = library.SCENES[scene_name]()
     camera = default_camera()
     target = jnp.asarray(
@@ -91,7 +98,9 @@ def test_gradkernel_rejects_hints():
         render_loss_and_grad_pallas(scene, default_camera(), cfg, 1, target)
 
 
-@pytest.mark.parametrize("scene_name", ["room_with_sphere", "duocylinder"])
+@pytest.mark.parametrize(
+    "scene_name", ["room_with_sphere", "duocylinder", "tiger", "hypercube"]
+)
 @pytest.mark.slow
 def test_gradkernel_frozen_hints_matches_jnp(scene_name):
     """freeze_hints mode: loss equals the unhinted kernel/jnp loss
@@ -320,6 +329,49 @@ def test_sharded_loss_and_grad_matches_single_device():
         np.testing.assert_allclose(
             _flat_grads(gs_n), _flat_grads(gs_1), rtol=1e-4, atol=1e-9
         )
+
+
+@pytest.mark.slow
+def test_packed_train_step_matches_pytree():
+    """The packed-space production train step (diff.make_packed_train_step)
+    is BITWISE the pytree step: same kernel, same per-element gradient,
+    and adam's elementwise math is order-independent across the
+    leaf/vector split. 3 steps, exact equality."""
+    import optax
+
+    from fourd_ray_tracing_tpu.diff import (
+        make_packed_train_step,
+        make_train_step,
+        with_frozen_hints,
+    )
+
+    scene0 = library.room_with_sphere()
+    camera = default_camera()
+    cfg = with_frozen_hints(CFG, scene0)
+    target = jnp.asarray(
+        np.random.default_rng(6).uniform(0, 1, (CFG.height, CFG.width, 3)),
+        jnp.float32,
+    )
+    opt = optax.adam(1e-2)
+
+    step_t = make_train_step(cfg, opt, camera, impl="pallas")
+    step_p, init_p, unpack = make_packed_train_step(cfg, opt, camera, scene0)
+
+    scene_t, ostate_t = scene0, opt.init(scene0)
+    vec_p, ostate_p = init_p(scene0)
+    for i in range(3):
+        scene_t, ostate_t, loss_t, _ = step_t(
+            scene_t, ostate_t, np.uint32(11 + i), target
+        )
+        vec_p, ostate_p, loss_p = step_p(
+            vec_p, ostate_p, np.uint32(11 + i), target
+        )
+        assert float(loss_t) == float(loss_p), i
+    np.testing.assert_array_equal(_flat_grads(scene_t), np.asarray(vec_p))
+    # unpack returns the same pytree structure with the same values
+    np.testing.assert_array_equal(
+        _flat_grads(unpack(vec_p)), _flat_grads(scene_t)
+    )
 
 
 def test_freeze_hint_grads_all_branches():
