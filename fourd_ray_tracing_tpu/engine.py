@@ -417,6 +417,36 @@ class RenderEngine:
             g.accum = g._step_n(self.scene, g.accum, g.camera(self), seeds, parts)
         return self.groups[0].accum
 
+    def precompile(self) -> float:
+        """Warm every jitted step variant this engine can ever dispatch
+        (per group: the single-frame step + one step_n per STEP_CHUNKS
+        member) BEFORE the first interactive frame, so a live session
+        never stalls minutes on a tunnel compile mid-interaction
+        (VERDICT r4 #6; the reference is responsive from frame 1,
+        main.cpp:79-106). Executes each variant once on throwaway
+        buffers — engine state (seed sequence, frame counter,
+        accumulation) is untouched — because the jit call cache is
+        populated by calls, and execute-and-discard also covers any
+        backend warm-up the first dispatch pays. Returns seconds spent
+        (the measured time-to-first-frame the app logs)."""
+        t0 = time.monotonic()
+        for g in self.groups:
+            camera = g.camera(self)
+            # jnp.copy: the step donates its accum argument; the copy is
+            # consumed, g.accum stays valid.
+            out = g._step(
+                self.scene, jnp.copy(g.accum), camera,
+                np.uint32(1), np.float32(1.0),
+            )
+            for c in self.STEP_CHUNKS:
+                seeds = np.arange(1, c + 1, dtype=np.uint32)
+                parts = np.full((c,), np.float32(1.0))
+                out = g._step_n(
+                    self.scene, jnp.copy(g.accum), camera, seeds, parts
+                )
+            jax.block_until_ready(out)
+        return time.monotonic() - t0
+
     def run(self, n_frames: int) -> jnp.ndarray:
         for _ in range(n_frames):
             self.step_frame()

@@ -199,3 +199,19 @@ def test_step_frames_chunking_matches_single_steps():
     np.testing.assert_array_equal(
         np.asarray(eng_a.accum), np.asarray(eng_b.accum)
     )
+
+
+def test_precompile_preserves_state_and_results():
+    """engine.precompile() (the --precompile warm start, VERDICT r4 #6)
+    must not perturb the seed sequence, frame counter, or accumulation:
+    a warmed engine renders bit-identical frames to a cold one."""
+    cold = make_engine()
+    warm = make_engine()
+    secs = warm.precompile()
+    assert secs >= 0.0
+    assert warm.frame_number == cold.frame_number
+    assert warm.seed == cold.seed
+    np.testing.assert_array_equal(np.asarray(warm.accum), np.asarray(cold.accum))
+    cold.step_frames(3)
+    warm.step_frames(3)
+    np.testing.assert_array_equal(np.asarray(warm.accum), np.asarray(cold.accum))
