@@ -580,10 +580,14 @@ def _sharded_render_light_pallas_jit(
             cfg, tpp, n_views, height, width, interpret, vma=axes,
         )
 
-    # check_vma=False: same pallas-internals workaround as
-    # gradkernel.sharded_loss_and_grad_pallas (the replication checker
-    # trips inside pallas lowering on the mixed replicated/varying
-    # operands); semantics covered by the bit-identity test.
+    # check_vma=False: jax 0.9.0's replication checker trips INSIDE
+    # pallas lowering on the mixed replicated-params/varying-tile0
+    # operands ("Primitive ... requires varying manual axes to match ...
+    # pass check_vma=False"). Pinned: tools/repro_check_vma.py (minimal
+    # repro) + tests/test_sharding.py::test_check_vma_workaround_still_
+    # needed (strict xfail — goes red when a jax upgrade fixes it, at
+    # which point delete this argument). Semantics covered by the
+    # bit-identity test.
     out = jax.shard_map(
         local,
         mesh=mesh,
