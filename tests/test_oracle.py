@@ -151,12 +151,65 @@ def _random_rays(n, rng_np):
     return o, d.astype(np.float32)
 
 
+def _oracle_signature(oracle_scene, o, d):
+    """(hit, dist, norm, glow) of the oracle at one ray."""
+    inter = oracle_scene.find_intersection(o, d)
+    return (
+        bool(inter.did_intersect), float(inter.dist),
+        np.asarray(inter.norm, np.float32), float(inter.material.glow),
+    )
+
+
+def _near_decision_boundary(oracle_scene, o, d, eps=3e-4):
+    """Per-flip boundary certificate (VERDICT r4 #8): the ray lies within
+    an eps-band of SOME decision boundary of the intersection function
+    iff an eps-perturbation of the ray flips the ORACLE'S OWN answer —
+    hit/miss, winning material, a distance jump, or a normal flip. This
+    certifies every tolerated disagreement directly against the decision
+    structure (tangency |disc|~0, plane cos_dh~SMALL_FLOAT, annulus clip
+    margins, winner ties, ...) without enumerating per-primitive band
+    formulas. eps is ulp-scale for these unit-scale scenes: float32
+    arithmetic on coordinates up to ~30 carries ~1e-5 relative error,
+    magnified ~10-30x through the quadratic/trig chains.
+    """
+    hit0, dist0, norm0, glow0 = _oracle_signature(oracle_scene, o, d)
+    perts = [o + s * eps * d for s in (1.0, -1.0)]
+    for ax in range(4):
+        e = np.zeros(4, np.float32)
+        e[ax] = eps
+        perts += [o + e, o - e]
+        dn = d + e
+        dn /= np.linalg.norm(dn)
+        perts.append((o, dn.astype(np.float32)))
+        dn2 = d - e
+        dn2 /= np.linalg.norm(dn2)
+        perts.append((o, dn2.astype(np.float32)))
+    for p in perts:
+        po, pd = p if isinstance(p, tuple) else (p, d)
+        hit, dist, norm, glow = _oracle_signature(oracle_scene, po, pd)
+        if hit != hit0 or glow != glow0:
+            return True
+        if hit0 and (
+            abs(dist - dist0) > 50 * eps * max(1.0, abs(dist0))
+            or np.abs(norm - norm0).max() > 0.5
+        ):
+            return True
+    return False
+
+
 @pytest.mark.parametrize("scene_name", SCENE_NAMES)
 @pytest.mark.parametrize("mode", ["trig", "spec", "fast"])
 def test_intersect_vs_oracle(scene_name, mode, rng_np):
     """intersect_scene in every mode vs the oracle's find_intersection,
     ray by ray. trig is the literal transcription (tight); spec/fast use
-    the algebraically equivalent quadratic (equal up to ulp at edges)."""
+    the algebraically equivalent quadratic (equal up to ulp at edges).
+
+    EVERY disagreement (hit/miss flip, >1e-4 relative distance error,
+    normal or material mismatch) must carry a per-ray boundary
+    certificate: the oracle's own answer flips under an ulp-scale
+    perturbation (`_near_decision_boundary`), proving the ray sits on a
+    decision edge where float reassociation may legitimately differ —
+    no blanket statistical allowance (VERDICT r4 #8)."""
     o_np, d_np = _random_rays(256, rng_np)
     oracle_scene = oscenes.SCENES[scene_name]()
     want_hit, want_dist, want_norm, want_glow = [], [], [], []
@@ -178,24 +231,34 @@ def test_intersect_vs_oracle(scene_name, mode, rng_np):
             mode,
         )
     got_hit = np.asarray(got.hit)
-    flips = got_hit != want_hit
-    assert flips.mean() <= 0.02, f"{flips.sum()} hit/miss flips of {flips.size}"
+    got_dist = np.asarray(got.dist)
+    got_norm = np.asarray(got.norm.stack())
+    got_glow = np.asarray(got.glow)
 
     both = np.logical_and(got_hit, want_hit)
-    dist_err = np.abs(np.asarray(got.dist)[both] - want_dist[both])
-    # Grazing cylinder hits legitimately magnify ulp differences by
-    # 1/|projected drct|; bound the typical error tightly and the tail loosely.
-    rel = dist_err / np.maximum(want_dist[both], 1.0)
-    assert np.quantile(rel, 0.98) < 1e-4, f"98th pct dist err {np.quantile(rel, 0.98)}"
-    assert rel.max() < 0.05, f"max dist err {rel.max()}"
-
-    norm_close = (
-        np.abs(np.asarray(got.norm.stack())[both] - want_norm[both]).max(axis=-1)
-        < 1e-2
+    rel = np.where(
+        both,
+        np.abs(got_dist - want_dist) / np.maximum(np.abs(want_dist), 1.0),
+        0.0,
     )
-    assert norm_close.mean() > 0.98
-    glow_match = np.asarray(got.glow)[both] == want_glow[both]
-    assert glow_match.mean() > 0.98  # material identity (winner resolution)
+    disagree = (
+        (got_hit != want_hit)
+        | (both & (rel > 1e-4))
+        | (both & (np.abs(got_norm - want_norm).max(axis=-1) > 1e-2))
+        | (both & (got_glow != want_glow))
+    )
+    # Sanity cap: boundary rays are rare in a 256-ray uniform batch; a
+    # systematic error would blow past this before certification runs.
+    assert disagree.mean() <= 0.05, f"{disagree.sum()} disagreements of 256"
+    for k in np.nonzero(disagree)[0]:
+        assert _near_decision_boundary(oracle_scene, o_np[k], d_np[k]), (
+            f"ray {k} disagrees with the oracle but is NOT within an "
+            f"ulp band of any decision boundary: got hit={got_hit[k]} "
+            f"dist={got_dist[k]:.6g} glow={got_glow[k]} vs want "
+            f"hit={want_hit[k]} dist={want_dist[k]:.6g} glow={want_glow[k]}"
+        )
+    # The typical (non-boundary) agreement stays tight.
+    assert np.quantile(rel[both], 0.98) < 1e-4
 
 
 # --- Golden images: geometry (0 bounces — deterministic, tight) -------------
