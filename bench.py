@@ -23,10 +23,17 @@ is the headline (room-with-sphere median) in the driver's schema:
    "vs_baseline": N}   # vs the 1 Gray/s/chip north star (BASELINE.md:18)
 
 Roofline accounting (SURVEY §5): per-workload FLOPs/ray from XLA's cost
-analysis of the identical-math jnp pipeline, reported as achieved
-GFLOP/s; the workload streams ~nothing from HBM (scene in SMEM, image
-written once), so arithmetic intensity is effectively infinite and the
-kernel is VPU-compute-bound. Every line also reports `mfu` = achieved /
+analysis of the identical-math jnp pipeline (forward lines) or of the
+grad kernel's own tile math (training lines, flop_model
+"kernel_math_xla_count" — gradkernel.kernel_flops_per_ray), reported as
+achieved GFLOP/s; the workload streams ~nothing from HBM (scene in
+SMEM, image written once), so arithmetic intensity is effectively
+infinite and the kernel is VPU-compute-bound. Caveat on the training
+MFU: the backward's parameter cotangents are full-tile REDUCTIONS,
+which carry ~1024 counted flops per issued vector op vs 1 for the
+forward's elementwise mix — so the grad lines' high apparent MFU
+reflects reduction-dense arithmetic, not better issue efficiency
+(README "The backward budget"). Every line also reports `mfu` = achieved /
 DEFAULT_VPU_PEAK_GFLOPS, the chip's MEASURED sustained fp32 fma peak
 (tools/vpu_peak.py — fetch-timed Pallas chains; the pre-round-4 15 429.5
 figure was a dispatch-paced artifact and every earlier mfu was ~3x
@@ -319,16 +326,25 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
         "unit": "rays/s", "rays_per_frame": rays,
         "vs_baseline": med / TARGET_RAYS_PER_S,
     }
-    fpr = grad_flops_per_ray(cfg, scene_name, views)
+    if impl == "pallas":
+        # FLOPs/ray from XLA cost analysis of the KERNEL'S OWN math —
+        # one tile program of the fused value-and-grad sweep, same
+        # hints/chunking/vjp structure, evaluated on plain arrays
+        # (gradkernel.kernel_flops_per_ray; VERDICT r4 #9 closed — the
+        # jnp-pipeline proxy remains only on the xla cross-check line).
+        from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+            kernel_flops_per_ray,
+        )
+
+        fpr = kernel_flops_per_ray(scene, camera, kcfg)
+        flop_model = "kernel_math_xla_count"
+    else:
+        fpr = grad_flops_per_ray(cfg, scene_name, views)
+        flop_model = "jnp_pipeline_estimate"
     if fpr is not None:
-        # FLOPs/ray comes from XLA's cost analysis of the jnp
-        # value-and-grad PIPELINE; the Pallas kernel executes a different
-        # op mix (forward + per-sample vjp), so the grad-line mfu is an
-        # estimate against that flop model, not a kernel measurement —
-        # flagged via flop_model (ADVICE r3 #1).
         payload["flops_per_ray"] = round(fpr, 1)
         payload["achieved_gflops"] = round(med * fpr / 1e9, 1)
-        payload["flop_model"] = "jnp_pipeline_estimate"
+        payload["flop_model"] = flop_model
         if VPU_PEAK_GFLOPS > 0:
             payload["mfu"] = round(med * fpr / 1e9 / VPU_PEAK_GFLOPS, 3)
             payload["vpu_peak_gflops"] = VPU_PEAK_GFLOPS
@@ -399,11 +415,12 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
 
 
 def run_soft_train_workload(width, height, samples, bounces):
-    """Soft-silhouette training step on the KERNEL path (VERDICT r3 #5):
-    two forward megakernel renders + two pass-2 light-VJP kernel runs
-    per step (scene and scene-minus-object), alpha/blend in jnp. A
+    """Soft-silhouette training step on the KERNEL path: ONE two-row
+    megakernel dispatch (scene + zero_object'd scene as frame rows) and
+    ONE two-row light-VJP dispatch per step (diff.pallas_render_light_
+    pair; VERDICT r4 #5 — was 4 dispatches), alpha/blend in jnp. A
     'ray' is one traced path of ONE forward render, so the ideal cost
-    is >= 2x the hard inverse_step's per-ray time."""
+    is ~2x a forward render + 2x a light-VJP sweep per ray."""
     from fourd_ray_tracing_tpu.diff import (
         soft_image_loss_pallas,
         with_frozen_hints,
@@ -441,7 +458,7 @@ def run_soft_train_workload(width, height, samples, bounces):
         "value": med, "min": lo, "max": hi,
         "unit": "rays/s", "rays_per_frame": rays,
         "vs_baseline": med / TARGET_RAYS_PER_S,
-        "note": "2 renders + 2 light-vjp kernels per step",
+        "note": "one 2-row render + one 2-row light-vjp dispatch per step",
     })
     return med
 

@@ -300,6 +300,70 @@ def drop_object(scene: Scene, object_ref) -> Scene:
     raise ValueError(f"unknown object kind: {kind!r}")
 
 
+def zero_object(scene: Scene, object_ref) -> Scene:
+    """The scene with the referenced object made a GUARANTEED MISS while
+    keeping the pytree structure (the same-structure analogue of
+    `drop_object`, required by the one-dispatch soft-silhouette pair —
+    megakernel.render_light_pallas_multi shares one packed layout, one
+    rebuild closure, and one set of static hints across both scenes).
+
+    Exactness: circle-family primitives (spheres, cylinders, the
+    duocylinder, all four tiger cylinders) use r = 0 — the discriminant
+    becomes -perp2 <= 0, the tangency mask kills every lane, including
+    exact-through-center rays where perp2 == 0 (tangent is <=). The
+    hypercube uses r = -1: its cells' extent tests |e| <= r can never
+    pass. Rendered light is therefore BIT-IDENTICAL to `drop_object`'s
+    (tests/test_soft.py::test_zero_object_matches_drop_object), and the
+    zeroed object's dead-branch cotangents are exact zeros (the 1/r
+    resolver guards in models/scene.py and ops/geometry.py).
+
+    Hyperplanes cannot be zero-emulated (an infinite primitive has no
+    miss radius; offset-at-infinity breaks the wall-pair fold) —
+    ``("spaces", i)`` raises, and soft losses fall back to the
+    two-dispatch drop_object path for them.
+    """
+    kind, idx = object_ref
+
+    def zr(spec, r):
+        return spec._replace(r=jnp.zeros_like(jnp.asarray(spec.r)) + r)
+
+    if kind == "spheres":
+        spheres = tuple(
+            zr(s, 0.0) if k == idx else s for k, s in enumerate(scene.spheres)
+        )
+        return scene._replace(spheres=spheres)
+    if kind == "cylinders":
+        cyls = tuple(
+            zr(c, 0.0) if k == idx else c
+            for k, c in enumerate(scene.cylinders)
+        )
+        return scene._replace(cylinders=cyls)
+    if kind == "cylinders_union":
+        c1, c2 = scene.cylinders_union
+        return scene._replace(cylinders_union=(zr(c1, 0.0), zr(c2, 0.0)))
+    if kind == "tiger":
+        tg = scene.tiger
+        return scene._replace(tiger=tg._replace(
+            inner_cyl1=zr(tg.inner_cyl1, 0.0), outer_cyl1=zr(tg.outer_cyl1, 0.0),
+            inner_cyl2=zr(tg.inner_cyl2, 0.0), outer_cyl2=zr(tg.outer_cyl2, 0.0),
+        ))
+    if kind == "hypercube":
+        hc = scene.hypercube
+        # Zero the generator half-width AND every cell's (the spec-path
+        # cells carry their own copy; the fast paired fold reads hc.r).
+        return scene._replace(hypercube=hc._replace(
+            r=jnp.zeros_like(jnp.asarray(hc.r)) - 1.0,
+            cubes=tuple(
+                c._replace(r=jnp.zeros_like(jnp.asarray(c.r)) - 1.0)
+                for c in hc.cubes
+            ),
+        ))
+    raise ValueError(
+        f"zero_object does not support kind {kind!r} (hyperplanes fall "
+        "back to drop_object)"
+    )
+
+
 def soft_image_loss(
     scene: Scene,
     camera: Camera,
@@ -512,6 +576,103 @@ def _pallas_render_light_bwd(cfg, res, cot_light):
 pallas_render_light.defvjp(_pallas_render_light_fwd, _pallas_render_light_bwd)
 
 
+# --- One-dispatch soft-silhouette pair ---------------------------------------
+#
+# `pallas_render_light_pair` renders (scene, without) — same pytree
+# structure via `zero_object` — as TWO frame rows of ONE megakernel
+# dispatch (render_light_pallas_multi), and its backward runs ONE
+# two-row light-VJP dispatch (render_light_vjp_pallas_multi). This
+# halves the soft step's launches (4 -> 2) vs the two
+# `pallas_render_light` nodes it replaces (VERDICT r4 #5).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_render_light_pair(
+    scene_a: Scene, scene_b: Scene, camera: Camera, cfg: RenderConfig, seed
+) -> jnp.ndarray:
+    """Mean-light renders of two same-structure scenes at one seed,
+    stacked on a leading axis (2, ...): ONE kernel dispatch forward, one
+    backward. Row i is bit-identical to `pallas_render_light(scene_i)`.
+    Differentiable w.r.t. both scenes and the camera (camera cotangents
+    sum over the pair)."""
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
+        render_light_pallas_multi,
+    )
+
+    return render_light_pallas_multi((scene_a, scene_b), camera, cfg, seed)
+
+
+def _pair_fwd(scene_a, scene_b, camera, cfg, seed):
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
+        render_light_pallas_multi,
+    )
+
+    out = render_light_pallas_multi((scene_a, scene_b), camera, cfg, seed)
+    return out, (scene_a, scene_b, camera, seed)
+
+
+def _pair_bwd(cfg, res, cot):
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        render_light_vjp_pallas_multi,
+    )
+
+    scene_a, scene_b, camera, seed = res
+    (g_a, g_b), g_cam = render_light_vjp_pallas_multi(
+        (scene_a, scene_b), camera, cfg, seed, cot
+    )
+    zero_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return g_a, g_b, g_cam, zero_seed
+
+
+pallas_render_light_pair.defvjp(_pair_fwd, _pair_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def pallas_render_light_pair_sharded(
+    scene_a: Scene, scene_b: Scene, camera: Camera, cfg: RenderConfig, seed,
+    mesh,
+) -> jnp.ndarray:
+    """`pallas_render_light_pair` with the tile axis of both dispatches
+    sharded over ``mesh`` (megakernel.sharded_render_light_pallas_multi /
+    gradkernel.sharded_render_light_vjp_pallas_multi) — the multi-chip
+    soft-silhouette pair. Rows bit-identical to the single-device pair;
+    gradients equal up to psum order."""
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
+        sharded_render_light_pallas_multi,
+    )
+
+    return sharded_render_light_pallas_multi(
+        (scene_a, scene_b), camera, cfg, seed, mesh
+    )
+
+
+def _pair_sharded_fwd(scene_a, scene_b, camera, cfg, seed, mesh):
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import (
+        sharded_render_light_pallas_multi,
+    )
+
+    out = sharded_render_light_pallas_multi(
+        (scene_a, scene_b), camera, cfg, seed, mesh
+    )
+    return out, (scene_a, scene_b, camera, seed)
+
+
+def _pair_sharded_bwd(cfg, mesh, res, cot):
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        sharded_render_light_vjp_pallas_multi,
+    )
+
+    scene_a, scene_b, camera, seed = res
+    (g_a, g_b), g_cam = sharded_render_light_vjp_pallas_multi(
+        (scene_a, scene_b), camera, cfg, seed, cot, mesh
+    )
+    zero_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return g_a, g_b, g_cam, zero_seed
+
+
+pallas_render_light_pair_sharded.defvjp(_pair_sharded_fwd, _pair_sharded_bwd)
+
+
 def _hints_for_dropped(cfg: RenderConfig, object_ref) -> RenderConfig:
     """Statically remap cfg's scene hints for `drop_object(scene, ref)`
     so the without-object render keeps (most of) the hinted fold.
@@ -554,24 +715,26 @@ def soft_image_loss_pallas(
     target: jnp.ndarray,
     object_ref,
     edge_width: float = 0.05,
+    mesh=None,
 ) -> jnp.ndarray:
     """`soft_image_loss` with BOTH renders on the production megakernel
     and their gradients on the pass-2 light-VJP kernel (VERDICT r3 #5:
     soft geometry optimization no longer pays jnp-pipeline speed).
 
+    Every zero-emulatable object kind (spheres, cylinders, duocylinder,
+    tiger, hypercube) renders the with/without pair as TWO FRAME ROWS OF
+    ONE megakernel dispatch — `pallas_render_light_pair` over
+    `zero_object` — and backpropagates through ONE two-row light-VJP
+    dispatch: 2 launches per step instead of 4 (VERDICT r4 #5).
+    Hyperplane refs fall back to the two-node `pallas_render_light` +
+    `drop_object` path (an infinite primitive has no miss radius).
+
     The coverage alpha and the tone-mapped blend stay cheap jnp (they
-    differentiate through ordinary AD); only the two renders and their
-    image cotangents run in kernels via `pallas_render_light`. Same
-    estimator as the jnp soft loss at the same seed.
+    differentiate through ordinary AD). Same estimator as the jnp soft
+    loss at the same seed.
     """
     from fourd_ray_tracing_tpu.ops.sky import light_to_color
     from fourd_ray_tracing_tpu.ops.vec4 import Vec3
-
-    without = drop_object(scene, object_ref)
-    lw = pallas_render_light(scene, camera, cfg, seed)
-    lwo = pallas_render_light(
-        without, camera, _hints_for_dropped(cfg, object_ref), seed
-    )
 
     def tonemap(light):
         c = light_to_color(
@@ -579,6 +742,27 @@ def soft_image_loss_pallas(
             jnp.float32(cfg.light_coefficient),
         )
         return c.stack(axis=-1)
+
+    if object_ref[0] == "spaces":
+        if mesh is not None:
+            raise ValueError(
+                "mesh-sharded soft training supports zero-emulatable "
+                "object kinds only (hyperplanes have no miss radius)"
+            )
+        without = drop_object(scene, object_ref)
+        lw = pallas_render_light(scene, camera, cfg, seed)
+        lwo = pallas_render_light(
+            without, camera, _hints_for_dropped(cfg, object_ref), seed
+        )
+    else:
+        without = zero_object(scene, object_ref)
+        if mesh is not None:
+            pair = pallas_render_light_pair_sharded(
+                scene, without, camera, cfg, seed, mesh
+            )
+        else:
+            pair = pallas_render_light_pair(scene, without, camera, cfg, seed)
+        lw, lwo = pair[0], pair[1]
 
     img_w, img_wo = tonemap(lw), tonemap(lwo)
     alpha = object_coverage(scene, object_ref, camera, cfg, edge_width)[..., None]
@@ -613,27 +797,24 @@ def make_train_step(
     (`pallas_image_loss`): one kernel launch computes loss + all
     gradients; with a mesh the kernel's tile axis shards over it
     (`pallas_image_loss_sharded` — one psum of loss+grads over ICI);
-    soft-silhouette losses run their two renders on the forward
-    megakernel and their image cotangents on the pass-2 light-VJP
-    kernel (`soft_image_loss_pallas` via `pallas_render_light`;
-    single-device).
+    soft-silhouette losses render the with/without pair as two frame
+    rows of ONE megakernel dispatch and backpropagate through ONE
+    two-row light-VJP dispatch (`soft_image_loss_pallas` via
+    `pallas_render_light_pair`); with a mesh both dispatches tile-shard
+    over it (`pallas_render_light_pair_sharded`).
 
     Returns a step whose metrics dict carries loss and the global
     gradient norm (SURVEY §5 metrics/logging).
     """
     soft = soft_object_ref is not None or soft_sphere_index is not None
-    if impl == "pallas" and soft and mesh is not None:
-        raise ValueError(
-            "impl='pallas' soft-silhouette training is single-device "
-            "(use the jnp pipeline for mesh-sharded soft training)"
-        )
 
     def loss_fn(scene, seed, target):
         if impl == "pallas":
             if soft:
                 ref = soft_object_ref or ("spheres", soft_sphere_index or 0)
                 return soft_image_loss_pallas(
-                    scene, camera, cfg, seed, target, ref, edge_width
+                    scene, camera, cfg, seed, target, ref, edge_width,
+                    mesh=mesh,
                 )
             if mesh is not None:
                 return pallas_image_loss_sharded(

@@ -476,7 +476,11 @@ def intersect_scene_fast(
         dists.append(jnp.where(hit, dist, _FAR))
 
         def resolve(dist, hit_p, c=c, r=r, use_near=use_near, mat=s.material):
-            inv_r = 1.0 / r  # scalar
+            # max(r, tiny): bitwise-identical for any real radius, and a
+            # ZEROED sphere (diff.zero_object, r=0 -> guaranteed miss)
+            # keeps finite dead-branch values so its cotangents stay an
+            # exact 0 instead of 0*inf = NaN.
+            inv_r = 1.0 / jnp.maximum(r, 1e-30)  # scalar
             scale = jnp.where(use_near, -inv_r, inv_r)
             nrm = Vec4(
                 (c.x - hit_p.x) * scale,

@@ -510,8 +510,11 @@ def _family_norm(fam: _CylFamily, dist, r, flip) -> Vec4:
     """Cylinder surface normal at parameter dist: (po - d12*dist)/r,
     negated where ``flip`` (the outer-hit-from-outside flip,
     shader.frag:218-219 via :260). ``flip=None`` = statically no flip
-    (outer=False faces, where use_near is all-false)."""
-    inv_r = 1.0 / r
+    (outer=False faces, where use_near is all-false). max(r, tiny):
+    bitwise-identical for real radii; keeps a ZEROED family's (r=0,
+    diff.zero_object) dead-branch values finite so cotangents stay 0
+    instead of NaN."""
+    inv_r = 1.0 / jnp.maximum(r, 1e-30)
     scale = inv_r if flip is None else jnp.where(flip, -inv_r, inv_r)
     return Vec4(
         (fam.po.x - fam.d12.x * dist) * scale,

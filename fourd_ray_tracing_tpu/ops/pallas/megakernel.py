@@ -109,6 +109,22 @@ def _pack_pytree(tree):
     return packed, rebuild
 
 
+class _RowView:
+    """Static row view of a 2D SMEM params ref: ``_RowView(ref, f)[k]``
+    reads ``ref[f, k]``. Lets one `_pack_pytree` rebuild closure consume
+    per-FRAME parameter rows — the (F, P) packed layout that renders F
+    different SCENES (same pytree structure, different values) in one
+    dispatch (render_light_pallas_multi; the soft-silhouette
+    with/without pair)."""
+
+    def __init__(self, ref, row):
+        self.ref = ref
+        self.row = row
+
+    def __getitem__(self, k):
+        return self.ref[self.row, k]
+
+
 def _trace_rays_kernel(scene, ray_o, ray_d, pixel_bits, seed, counter, cfg,
                        pre0=None, unroll=False):
     """trace() for the megakernel: a lax.fori_loop over bounces
@@ -298,8 +314,14 @@ def _tile_camera(camera, view, n_views: int, tile_zero):
 
 
 def _kernel(params_ref, seed_ref, tile0_ref, out_ref, *, rebuild,
-            cfg: RenderConfig, n_views: int, height: int, width: int):
-    scene, camera = rebuild(params_ref)
+            cfg: RenderConfig, n_views: int, height: int, width: int,
+            frame_params: bool = False):
+    # frame_params: params is (F, P) — each frame program renders its OWN
+    # scene row (render_light_pallas_multi). Default: one shared (P,).
+    if frame_params:
+        scene, camera = rebuild(_RowView(params_ref, pl.program_id(0)))
+    else:
+        scene, camera = rebuild(params_ref)
     # Grid = (frames, tile groups): the frame axis batches whole
     # accumulation frames (distinct seeds) into ONE dispatch, amortizing
     # launch overhead on interactive-scale images (VERDICT r2 #3); each
@@ -462,18 +484,27 @@ def _launch_forward(packed, rebuild, seed_arr, tile0, n_tiles, cfg, tpp,
                     n_views, height, width, interpret, vma=None):
     """One forward megakernel launch over ``n_tiles`` tiles starting at
     global tile index ``tile0``; returns (frames, n_tiles, 3, sublanes,
-    LANES) light tiles. ``vma``: mesh axes the output varies over
-    (required by shard_map's replication checker when launching inside
-    it — see sharded_render_light_pallas)."""
+    LANES) light tiles. ``packed`` may be (P,) — one scene for every
+    frame — or (F, P): per-frame scene rows (F must equal the seed
+    count; render_light_pallas_multi). ``vma``: mesh axes the output
+    varies over (required by shard_map's replication checker when
+    launching inside it — see sharded_render_light_pallas)."""
     import dataclasses as _dc
 
     n_frames = int(seed_arr.shape[0])
+    frame_params = packed.ndim == 2
+    if frame_params and int(packed.shape[0]) != n_frames:
+        raise ValueError(
+            f"per-frame params rows ({packed.shape[0]}) != frames "
+            f"({n_frames})"
+        )
     sublanes = cfg.tile_sublanes
     n_groups = n_tiles // tpp
     tile0_arr = jnp.asarray(tile0, jnp.int32).reshape(1)
     kernel = functools.partial(
         _kernel, rebuild=rebuild, cfg=_dc.replace(cfg, tiles_per_program=tpp),
         n_views=n_views, height=height, width=width,
+        frame_params=frame_params,
     )
     shape = (n_frames, n_tiles, 3, sublanes, LANES)
     if vma is None:
@@ -496,6 +527,93 @@ def _launch_forward(packed, rebuild, seed_arr, tile0, n_tiles, cfg, tpp,
         out_shape=out_shape,
         interpret=interpret,
     )(packed, seed_arr, tile0_arr)
+
+
+def render_light_pallas_multi(
+    scenes: Sequence[Scene], camera: Camera, cfg: RenderConfig, seed,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Render F SAME-STRUCTURE scenes (different parameter values) at ONE
+    shared seed in ONE megakernel dispatch — the grid frame axis carries
+    scenes instead of seeds, each program reading its own packed row
+    ((F, P) SMEM, `_RowView`). Result has a leading scene axis:
+    (F, H, W, 3) or (F, V, H, W, 3); row f is BIT-IDENTICAL to
+    `render_light_pallas(scenes[f], ...)` at the same seed.
+
+    This is the soft-silhouette training pattern (diff.soft_image_loss_
+    pallas): the with/without-object pair renders in one launch instead
+    of two, with the "without" scene expressed by zeroing the object
+    (diff.zero_object) so the structure — and therefore the static
+    hints, derived from scenes[0] — stays shared.
+    """
+    scenes = tuple(scenes)
+    if cfg.intersect == "fast" and cfg.plane_hints is None:
+        hints = plane_norm_hints(scenes[0])
+        if hints is not None:
+            cfg = dataclasses.replace(
+                cfg, plane_hints=hints,
+                plane_pairs=plane_pair_hints(scenes[0], hints),
+            )
+    if cfg.intersect == "fast" and cfg.axis_hints is None:
+        ah = axis_alignment_hints(scenes[0])
+        if ah is not None:
+            cfg = dataclasses.replace(cfg, axis_hints=ah)
+    return _render_light_pallas_multi_jit(scenes, camera, cfg, seed, interpret)
+
+
+def _pack_scene_rows(scenes, camera):
+    """Stack per-scene packed vectors to (F, P); one shared rebuild.
+    All scenes must share the pytree structure and leaf shapes."""
+    ref_struct = jax.tree_util.tree_structure((scenes[0], camera))
+    packs = []
+    for s in scenes:
+        if jax.tree_util.tree_structure((s, camera)) != ref_struct:
+            raise ValueError(
+                "render_light_pallas_multi requires same-structure scenes "
+                "(use diff.zero_object, not drop_object, for the "
+                "without-object scene)"
+            )
+        packs.append(_pack_pytree((s, camera)))
+    packed = jnp.stack([p for p, _ in packs])
+    return packed, packs[0][1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _render_light_pallas_multi_jit(
+    scenes, camera: Camera, cfg: RenderConfig, seed,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if cfg.rng_mode not in ("per_sample", "sequential"):
+        raise ValueError(f"unknown rng_mode: {cfg.rng_mode!r}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_scene_rows(scenes, camera)
+    n_scenes = len(scenes)
+    seed_arr = jnp.full(
+        (n_scenes,), jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+        jnp.int32,
+    )
+
+    sublanes = cfg.tile_sublanes
+    tile = sublanes * LANES
+    total = n_views * height * width
+    n_tiles = pl.cdiv(total, tile)
+    tpp = min(cfg.tiles_per_program, n_tiles)
+    n_groups = pl.cdiv(n_tiles, tpp)
+    n_tiles = n_groups * tpp
+
+    out = _launch_forward(
+        packed, rebuild, seed_arr, 0, n_tiles, cfg, tpp,
+        n_views, height, width, interpret,
+    )
+    flat = out.transpose(0, 1, 3, 4, 2).reshape(n_scenes, n_tiles * tile, 3)
+    flat = flat[:, :total]
+    shape = (height, width, 3) if n_views == 1 else (n_views, height, width, 3)
+    return flat.reshape((n_scenes,) + shape)
 
 
 def sharded_render_light_pallas(
@@ -602,6 +720,84 @@ def _sharded_render_light_pallas_jit(
     if frame_batched:
         return flat.reshape((n_frames,) + shape)
     return flat.reshape(shape)
+
+
+def sharded_render_light_pallas_multi(
+    scenes: Sequence[Scene], camera: Camera, cfg: RenderConfig, seed, mesh,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """`render_light_pallas_multi` with the TILE axis sharded over every
+    device of ``mesh`` (same tile0 scheme as sharded_render_light_pallas)
+    — F same-structure scenes, one shared seed, one launch per device.
+    Row f is bit-identical to the single-device multi render."""
+    scenes = tuple(scenes)
+    if cfg.intersect == "fast" and cfg.plane_hints is None:
+        hints = plane_norm_hints(scenes[0])
+        if hints is not None:
+            cfg = dataclasses.replace(
+                cfg, plane_hints=hints,
+                plane_pairs=plane_pair_hints(scenes[0], hints),
+            )
+    if cfg.intersect == "fast" and cfg.axis_hints is None:
+        ah = axis_alignment_hints(scenes[0])
+        if ah is not None:
+            cfg = dataclasses.replace(cfg, axis_hints=ah)
+    return _sharded_render_light_multi_jit(
+        scenes, camera, cfg, seed, mesh, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "interpret"))
+def _sharded_render_light_multi_jit(
+    scenes, camera: Camera, cfg: RenderConfig, seed, mesh,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_scene_rows(scenes, camera)
+    n_scenes = len(scenes)
+    seed_arr = jnp.full(
+        (n_scenes,), jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+        jnp.int32,
+    )
+
+    sublanes = cfg.tile_sublanes
+    tile = sublanes * LANES
+    total = n_views * height * width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_tiles = pl.cdiv(total, tile)
+    tpp = min(cfg.tiles_per_program, n_tiles)
+    tiles_local = pl.cdiv(pl.cdiv(n_tiles, n_dev), tpp) * tpp
+    n_tiles = tiles_local * n_dev
+
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local(packed, seed_arr):
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return _launch_forward(
+            packed, rebuild, seed_arr, idx * tiles_local, tiles_local,
+            cfg, tpp, n_views, height, width, interpret, vma=axes,
+        )
+
+    # check_vma=False: see sharded_render_light_pallas (pinned by
+    # tools/repro_check_vma.py + the strict-xfail guard test).
+    out = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()), out_specs=P(None, axes),
+        check_vma=False,
+    )(packed, seed_arr)
+
+    flat = out.transpose(0, 1, 3, 4, 2).reshape(n_scenes, n_tiles * tile, 3)
+    flat = flat[:, :total]
+    shape = (height, width, 3) if n_views == 1 else (n_views, height, width, 3)
+    return flat.reshape((n_scenes,) + shape)
 
 
 def sharded_render_image_pallas(

@@ -472,3 +472,133 @@ def test_soft_pallas_with_frozen_hints_and_dropped_objects():
             assert all(
                 float(np.abs(np.asarray(c)).max()) == 0.0 for c in sp.norm
             )
+
+
+def test_zero_object_matches_drop_object():
+    """diff.zero_object (same-structure guaranteed-miss emulation) renders
+    the SAME light as diff.drop_object for every supported kind — the
+    correctness contract of the one-dispatch soft pair. Compared eagerly
+    (one execution order) so the only possible difference would be the
+    zeroed candidate itself."""
+    from fourd_ray_tracing_tpu.diff import drop_object, zero_object
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.models.renderer import render_light
+
+    cfg = RenderConfig(width=16, height=8, samples=1, reflections_amount=1,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    camera = default_camera()
+    cases = [
+        ("room_with_sphere", ("spheres", 0)),
+        ("duocylinder", ("cylinders_union", None)),
+        ("tiger", ("tiger", None)),
+        ("hypercube", ("hypercube", None)),
+    ]
+    with jax.disable_jit():
+        for scene_name, ref in cases:
+            scene = library.SCENES[scene_name]()
+            lz = render_light(zero_object(scene, ref), camera, cfg, SEED)
+            ld = render_light(drop_object(scene, ref), camera, cfg, SEED)
+            np.testing.assert_array_equal(
+                np.asarray(lz), np.asarray(ld), err_msg=f"{scene_name} {ref}"
+            )
+
+
+def test_pallas_render_light_pair_rows_match_single():
+    """Each row of the one-dispatch pair render equals the single-scene
+    megakernel render of that scene at the same seed."""
+    from fourd_ray_tracing_tpu.diff import pallas_render_light_pair, zero_object
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import render_light_pallas
+
+    cfg = RenderConfig(width=32, height=16, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    camera = default_camera()
+    scene = library.room_with_sphere()
+    without = zero_object(scene, ("spheres", 0))
+    pair = pallas_render_light_pair(scene, without, camera, cfg, np.uint32(7))
+    a = render_light_pallas(scene, camera, cfg, np.uint32(7))
+    b = render_light_pallas(without, camera, cfg, np.uint32(7))
+    np.testing.assert_allclose(np.asarray(pair[0]), np.asarray(a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pair[1]), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_light_vjp_multi_rows_match_single():
+    """render_light_vjp_pallas_multi: each row's scene gradients equal the
+    single-scene light-VJP kernel's; the camera gradient is the rows'
+    sum."""
+    from fourd_ray_tracing_tpu.diff import zero_object
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        render_light_vjp_pallas,
+        render_light_vjp_pallas_multi,
+    )
+
+    cfg = RenderConfig(width=32, height=16, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    camera = default_camera()
+    scene = library.room_with_sphere()
+    without = zero_object(scene, ("spheres", 0))
+    rng = np.random.default_rng(3)
+    cots = jnp.asarray(rng.normal(0, 1, (2, cfg.height, cfg.width, 3)),
+                       jnp.float32)
+
+    (g0, g1), g_cam = render_light_vjp_pallas_multi(
+        (scene, without), camera, cfg, np.uint32(7), cots
+    )
+    s0, c0 = render_light_vjp_pallas(scene, camera, cfg, np.uint32(7), cots[0])
+    s1, c1 = render_light_vjp_pallas(without, camera, cfg, np.uint32(7), cots[1])
+
+    def flat(t):
+        return np.concatenate([
+            np.asarray(l, np.float32).reshape(-1)
+            for l in jax.tree_util.tree_leaves(t)
+        ])
+
+    np.testing.assert_allclose(flat(g0), flat(s0), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(flat(g1), flat(s1), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(flat(g_cam), flat(c0) + flat(c1),
+                               rtol=1e-5, atol=1e-7)
+    assert np.abs(flat(g0)).max() > 1e-8
+
+
+@pytest.mark.slow
+def test_soft_pallas_mesh_matches_single_device():
+    """make_train_step(impl='pallas', soft, mesh=...) now runs: the
+    sharded pair (one forward + one VJP dispatch per device, tile0
+    scheme) gives the same loss and updated scene as the single-device
+    pair step (VERDICT r4 #5: the ValueError arm removed)."""
+    from fourd_ray_tracing_tpu.diff import make_train_step
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.parallel.mesh import make_mesh
+
+    scene = library.room_with_sphere()
+    camera = default_camera()
+    cfg = RenderConfig(width=32, height=16, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    target = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 1, (cfg.height, cfg.width, 3)),
+        jnp.float32,
+    )
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(rays=4, samples=2)
+    ref = ("spheres", 0)
+
+    step_1 = make_train_step(cfg, opt, camera, impl="pallas",
+                             soft_object_ref=ref)
+    step_n = make_train_step(cfg, opt, camera, impl="pallas",
+                             soft_object_ref=ref, mesh=mesh)
+    s1, _, loss1, m1 = step_1(scene, opt.init(scene), np.uint32(5), target)
+    sn, _, lossn, mn = step_n(scene, opt.init(scene), np.uint32(5), target)
+    np.testing.assert_allclose(float(lossn), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(mn["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4
+    )
+
+    def flat(t):
+        return np.concatenate([
+            np.asarray(l, np.float32).reshape(-1)
+            for l in jax.tree_util.tree_leaves(t)
+        ])
+
+    np.testing.assert_allclose(flat(sn), flat(s1), rtol=1e-4, atol=1e-7)
