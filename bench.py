@@ -25,7 +25,7 @@ is the headline (room-with-sphere median) in the driver's schema:
 Roofline accounting (SURVEY §5): per-workload FLOPs/ray from XLA's cost
 analysis of the identical-math jnp pipeline (forward lines) or of the
 grad kernel's own tile math (training lines, flop_model
-"kernel_math_xla_count" — gradkernel.kernel_flops_per_ray), reported as
+"kernel_jaxpr_count" — gradkernel.kernel_flops_per_ray), reported as
 achieved GFLOP/s; the workload streams ~nothing from HBM (scene in
 SMEM, image written once), so arithmetic intensity is effectively
 infinite and the kernel is VPU-compute-bound. Caveat on the training
@@ -337,7 +337,7 @@ def run_grad_workload(width, height, samples, bounces, impl="pallas",
         )
 
         fpr = kernel_flops_per_ray(scene, camera, kcfg)
-        flop_model = "kernel_math_xla_count"
+        flop_model = "kernel_jaxpr_count"
     else:
         fpr = grad_flops_per_ray(cfg, scene_name, views)
         flop_model = "jnp_pipeline_estimate"

@@ -752,6 +752,64 @@ def _render_loss_and_grad_jit(
     return loss, grads
 
 
+_FLOP_PRIMS = {
+    "add", "sub", "mul", "div", "rem", "neg", "sqrt", "rsqrt", "exp",
+    "log", "log1p", "expm1", "sin", "cos", "tan", "atan2", "pow",
+    "integer_pow", "abs", "sign", "floor", "ceil", "round", "max", "min",
+    "cbrt", "logistic", "tanh", "erf",
+}
+
+
+def _count_jaxpr_flops(jaxpr) -> float:
+    """Floating-point op count of a (closed) jaxpr: 1 flop per output
+    element of each arithmetic primitive on a float dtype, input-size
+    for reductions, recursing into pjit/custom-call/scan sub-jaxprs
+    (scan bodies multiply by trip count). Compares, selects, bit ops,
+    converts and integer (RNG) arithmetic count zero — XLA's "useful
+    flops" convention, applied to the EXACT program Mosaic lowers
+    (jax.make_jaxpr of the kernel math), immune to whatever
+    rematerialization XLA's own compilation of an equivalent graph
+    would pick."""
+    import numpy as _np
+
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        sub = None
+        mult = 1.0
+        if "jaxpr" in eqn.params:
+            sub = eqn.params["jaxpr"]
+        elif "call_jaxpr" in eqn.params:
+            sub = eqn.params["call_jaxpr"]
+        elif name == "scan":
+            sub = eqn.params["jaxpr"]
+            mult = float(eqn.params.get("length", 1))
+        elif name == "while":
+            # Trip count is dynamic; count one body iteration (the grad
+            # kernel's production fused form is loop-free anyway).
+            sub = eqn.params["body_jaxpr"]
+        if sub is not None:
+            inner = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+            total += mult * _count_jaxpr_flops(inner)
+            continue
+        out = eqn.outvars[0].aval
+        if not jnp.issubdtype(out.dtype, jnp.floating):
+            continue
+        if name in _FLOP_PRIMS:
+            total += float(_np.prod(out.shape) or 1.0)
+        elif name in ("reduce_sum", "reduce_max", "reduce_min",
+                      "reduce_prod"):
+            total += float(_np.prod(eqn.invars[0].aval.shape) or 1.0)
+        elif name == "dot_general":
+            d = eqn.params["dimension_numbers"]
+            m = float(_np.prod(out.shape) or 1.0)
+            k = float(_np.prod([
+                eqn.invars[0].aval.shape[i] for i in d[0][0]
+            ]) or 1.0)
+            total += 2.0 * m * k
+    return total
+
+
 def kernel_flops_per_ray(scene: Scene, camera: Camera, cfg: RenderConfig):
     """Measured FLOPs per traced path of the value-and-grad kernel's
     ACTUAL math (VERDICT r4 #9: replaces the jnp-pipeline proxy on the
@@ -760,10 +818,14 @@ def kernel_flops_per_ray(scene: Scene, camera: Camera, cfg: RenderConfig):
     Reconstructs one tile program of the fused kernel — same hints, same
     chunking, same vjp structure, literally the kernel's own
     primary/chunk/tile-loss closures evaluated on plain jnp arrays
-    instead of Refs — and runs XLA's cost analysis on it (the same
-    methodology as bench.flops_per_ray uses for the forward lines).
-    Returns None when the backend exposes no analysis. Call with a
-    concrete scene outside jit.
+    instead of Refs — and counts the flops of its jaxpr
+    (`_count_jaxpr_flops`). A jaxpr walk, NOT XLA cost analysis: XLA
+    compiles the standalone tile function with its own rematerialization
+    choices (on the tiger's unrolled reverse sweep that inflated the
+    count ~6x past the VPU peak, an impossible >1 MFU), while the jaxpr
+    IS the program Mosaic lowers. Returns None for two-pass configs
+    (grad_sample_chunk < samples) whose executed mix differs from the
+    traced fused form. Call with a concrete scene outside jit.
     """
     try:
         cfg = _auto_hints(scene, cfg)
@@ -826,22 +888,11 @@ def kernel_flops_per_ray(scene: Scene, camera: Camera, cfg: RenderConfig):
             g = vjp_fn(cot)
             return loss_val, jnp.stack(g) * np.float32(reps)
 
-        target_tile = jnp.zeros((3, sub, lanes), jnp.float32)
-        compiled = (
-            jax.jit(tile_step)
-            .lower(packed, jnp.uint32(1), target_tile)
-            .compile()
-        )
-        analysis = compiled.cost_analysis()
-        if isinstance(analysis, list):
-            analysis = analysis[0]
-        flops = float(analysis.get("flops", 0.0))
         if G < cfg.samples:
-            # Two-pass shape: the analyzed graph holds one chunk; the
-            # kernel runs samples/G chunks plus the pass-1 forward.
-            # Scale conservatively by the chunk count (pass 1 ~= one
-            # chunk's forward, folded into the estimate).
-            flops *= cfg.samples / G + 1.0
+            return None  # two-pass executed mix differs from this trace
+        target_tile = jnp.zeros((3, sub, lanes), jnp.float32)
+        jaxpr = jax.make_jaxpr(tile_step)(packed, jnp.uint32(1), target_tile)
+        flops = _count_jaxpr_flops(jaxpr.jaxpr)
         rays = sub * lanes * cfg.samples
         return flops / rays if flops > 0 else None
     except Exception:

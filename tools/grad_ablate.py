@@ -5,6 +5,13 @@ but stop at different points, so the step budget (pass 1 forward, loss
 cotangent, pass 2 reverse sweep) can be measured instead of guessed
 (VERDICT r3 weak #2 asked for attribution, not argument).
 
+NOTE (round 5): the production kernel is now the FUSED single-vjp form
+(gradkernel.py — pass 1 deleted when grad_sample_chunk == samples), so
+this tool's variants describe the two-pass fallback's budget. For
+whole-TRAIN-STEP attribution (kernel vs sums vs optimizer vs scan) use
+tools/train_ablate.py; DEBUG_SKIP_PASS2 still compiles the two-pass
+shape for pass-level splits.
+
 Usage: python tools/grad_ablate.py [width height samples bounces]
 """
 from __future__ import annotations
