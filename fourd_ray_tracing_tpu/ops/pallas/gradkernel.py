@@ -41,9 +41,10 @@ round-4 two-pass kernel's 1.75x (tools/train_ablate.py attribution:
 pass 1 = 1.0x forward, per-sample pass 2 += 0.75x; fusing deletes pass
 1's redundant second forward, and G=samples chunking shares one
 envelope recompute across the whole reverse sweep). All 8 samples'
-trace residuals fit VMEM without spilling at 32 sublanes. Tile sweep:
-32 sublanes stays optimal for this kernel too (16 -> -7%, 8 fails to
-compile).
+trace residuals fit VMEM without spilling at 32 sublanes. Tile sweep
+(re-run on the FUSED form with the raised VMEM budget): 32 sublanes
+stays optimal — 16 -> -7% (0.758 vs 0.818), 64 -> -14% (0.707), 8
+fails to compile.
 
 Static hints: by default the kernel refuses plane/pair/axis hints
 (hint-dropped terms would distort those components' gradients). With

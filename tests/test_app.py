@@ -483,3 +483,66 @@ def test_browser_command_channel(tiny_config, tmp_path):
             proc.kill()
     assert proc.returncode == 0, out[-2000:]
     assert "cursor captured" in out and "cursor released" in out
+
+
+def test_checkpoint_structure_mismatch_is_actionable(tmp_path):
+    """Restoring into a differently-shaped pytree raises a clear
+    ValueError naming the fingerprints (not an orbax internals error)."""
+    import pytest as _pytest
+
+    state = {"a": np.arange(4, dtype=np.float32), "b": np.float32(2.0)}
+    path = tmp_path / "ck"
+    checkpoint.save(path, state)
+    wrong = {"a": np.arange(5, dtype=np.float32), "b": np.float32(2.0)}
+    with _pytest.raises(ValueError, match="structure mismatch"):
+        checkpoint.restore(path, wrong)
+    # matching structure still round-trips
+    got = checkpoint.restore(path, state)
+    np.testing.assert_array_equal(got["a"], state["a"])
+
+
+def test_packed_train_state_checkpoint_roundtrip(tmp_path):
+    """save/restore_train_state resumes the packed production loop
+    (diff.make_packed_train_step) exactly: a resumed run's next step
+    equals the uninterrupted run's."""
+    import optax
+
+    import jax.numpy as jnp
+
+    from fourd_ray_tracing_tpu import camera as cam
+    from fourd_ray_tracing_tpu.diff import (
+        make_packed_train_step,
+        with_frozen_hints,
+    )
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.models.renderer import RenderConfig
+    from fourd_ray_tracing_tpu.ops.vec4 import Vec4
+
+    scene0 = library.sphere_plane_light()
+    cfg = with_frozen_hints(
+        RenderConfig(width=16, height=8, samples=2, reflections_amount=1,
+                     rng_mode="per_sample"),
+        scene0,
+    )
+    camera = cam.camera_from_state(
+        Vec4.of(0.0, -2.0, 0.0, 0.0),
+        cam.CameraAngles(jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        1.5, 2.0,
+    )
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    opt = optax.adam(1e-2)
+    step, init, _ = make_packed_train_step(cfg, opt, camera, scene0)
+
+    vec, ost = init(scene0)
+    for i in range(2):
+        vec, ost, _ = step(vec, ost, np.uint32(i + 1), target)
+    checkpoint.save_train_state(tmp_path / "train", vec, ost, step=2)
+
+    vec_r, ost_r, n = checkpoint.restore_train_state(
+        tmp_path / "train", *init(scene0)
+    )
+    assert n == 2
+    vec_a, _, loss_a = step(vec, ost, np.uint32(3), target)
+    vec_b, _, loss_b = step(vec_r, ost_r, np.uint32(3), target)
+    assert float(loss_a) == float(loss_b)
+    np.testing.assert_array_equal(np.asarray(vec_a), np.asarray(vec_b))
