@@ -846,6 +846,7 @@ def make_packed_train_step(
     optimizer: optax.GradientTransformation,
     camera: Camera,
     scene_template: Scene,
+    param_filter: Optional[Callable] = None,
 ):
     """The PRODUCTION train loop: the value-and-grad megakernel with the
     optimizer running in packed vector space (VERDICT r4 #1).
@@ -871,6 +872,10 @@ def make_packed_train_step(
 
     ``cfg`` should come from `with_frozen_hints` (as for the pytree
     path); ``scene_template`` fixes the static scene structure.
+    ``param_filter`` (same contract as make_train_step's: a pytree ->
+    pytree gradient zero-mask) is converted to a static packed 0/1
+    vector applied to the gradient before the optimizer — identical
+    semantics to the pytree step's filtering.
     """
     from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
         make_packed_loss_and_grad,
@@ -879,6 +884,16 @@ def make_packed_train_step(
     loss_and_grad, vec0, unpack = make_packed_loss_and_grad(
         scene_template, camera, cfg
     )
+    filter_vec = None
+    if param_filter is not None:
+        ones = jax.tree_util.tree_map(
+            lambda l: jnp.ones_like(jnp.asarray(l, jnp.float32)),
+            scene_template,
+        )
+        filter_vec = jnp.concatenate([
+            jnp.asarray(l, jnp.float32).reshape(-1)
+            for l in jax.tree_util.tree_leaves(param_filter(ones))
+        ])
 
     def init(scene: Scene):
         leaves = jax.tree_util.tree_leaves(scene)
@@ -890,6 +905,8 @@ def make_packed_train_step(
     @jax.jit
     def step(scene_vec, opt_state, seed, target):
         loss, g = loss_and_grad(scene_vec, seed, target)
+        if filter_vec is not None:
+            g = g * filter_vec
         updates, opt_state = optimizer.update(g, opt_state, scene_vec)
         scene_vec = optax.apply_updates(scene_vec, updates)
         return scene_vec, opt_state, loss

@@ -42,3 +42,22 @@ def test_gen_goldens_camera_matches_production():
     np.testing.assert_array_equal(oc.right, np.asarray(pc.right.stack()))
     assert oc.mtr_width == float(pc.mtr_width)
     assert oc.mtr_height == float(pc.mtr_height)
+
+
+@pytest.mark.slow
+def test_inverse_render_packed_production_loop(tmp_path):
+    """--packed: the packed-space production loop (adam on the kernel's
+    flat vector, train-state checkpoints) recovers the glow within the
+    tested tiny-workload tolerance and writes a resumable checkpoint."""
+    from fourd_ray_tracing_tpu.utils import checkpoint
+    from tools.inverse_render import main
+
+    ck = tmp_path / "ck"
+    rc = main([
+        "--param", "glow", "--steps", "60", "--width", "24", "--height", "16",
+        "--samples", "2", "--bounces", "2", "--lr", "0.5", "--log-every", "30",
+        "--tol", "5.0", "--impl", "pallas", "--packed", "--ckpt", str(ck),
+    ])
+    assert rc == 0
+    meta = (ck / "fourd_ckpt_meta.json")
+    assert meta.exists()  # versioned train-state artifact written

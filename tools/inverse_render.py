@@ -83,6 +83,13 @@ def main(argv=None) -> int:
                     help="with --impl pallas: run the grad kernel with "
                     "the production static hints (diff.with_frozen_hints; "
                     "wall normals / hinted axes get zero grads)")
+    ap.add_argument("--packed", action="store_true",
+                    help="with --impl pallas (hard loss, no mesh): the "
+                    "packed-space production loop "
+                    "(diff.make_packed_train_step — adam on the "
+                    "kernel's flat parameter vector; bitwise the "
+                    "pytree step's updates), checkpointed via "
+                    "save_train_state")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (save each 20 steps)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--tol", type=float, default=None,
@@ -137,18 +144,52 @@ def main(argv=None) -> int:
 
         read = lambda s: float(s.spheres[1].center.x)
 
-    if args.impl == "pallas" and soft is not None and mesh is not None:
-        raise SystemExit("--impl pallas soft training is single-device "
-                         "(drop --mesh for --param position)")
     if args.impl == "pallas" and args.freeze_hints:
         # Production kernel speed: run the grad kernel with the
         # forward's static hints under the freeze contract (hyperplane
         # normals / hinted axes get zero grads — fine here, the
         # param_filter freezes everything but the target param anyway).
+        # (Round 5: mesh-sharded soft training works too — the
+        # one-dispatch pair shards over the mesh, diff.py.)
         from fourd_ray_tracing_tpu.diff import with_frozen_hints
 
         cfg = with_frozen_hints(cfg, scene0)
     opt = optax.adam(lr)
+
+    if args.packed:
+        if args.impl != "pallas" or soft is not None or mesh is not None:
+            raise SystemExit(
+                "--packed = the hard-loss single-device pallas "
+                "production loop (use --impl pallas, no --mesh, "
+                "--param glow)"
+            )
+        from fourd_ray_tracing_tpu.diff import (
+            make_packed_train_step,
+            with_frozen_hints,
+        )
+
+        if not cfg.freeze_hints:
+            cfg = with_frozen_hints(cfg, scene0)
+        pstep, pinit, unpack = make_packed_train_step(
+            cfg, opt, camera, scene0, param_filter=param_filter
+        )
+        vec, opt_state = pinit(scene0)
+        for k in range(args.steps):
+            vec, opt_state, loss = pstep(vec, opt_state,
+                                         np.uint32(args.seed), target)
+            if k % args.log_every == 0 or k == args.steps - 1:
+                log_metrics(k, {"loss": float(loss),
+                                "value": read(unpack(vec))})
+            if args.ckpt and k % 20 == 19:
+                checkpoint.save_train_state(Path(args.ckpt), vec, opt_state,
+                                            step=k + 1)
+        scene = unpack(vec)
+        err = abs(read(scene) - true_val)
+        log0(f"recovered {args.param}={read(scene):.4f} "
+             f"(true {true_val}, err {err:.4f})")
+        tol = args.tol if args.tol is not None else 2.0
+        return 0 if err < tol else 1
+
     step = make_train_step(cfg, opt, camera, mesh=mesh,
                            param_filter=param_filter,
                            soft_sphere_index=soft, edge_width=0.08,
