@@ -415,12 +415,14 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
 
 
 def run_soft_train_workload(width, height, samples, bounces):
-    """Soft-silhouette training step on the KERNEL path: ONE two-row
-    megakernel dispatch (scene + zero_object'd scene as frame rows) and
-    ONE two-row light-VJP dispatch per step (diff.pallas_render_light_
-    pair; VERDICT r4 #5 — was 4 dispatches), alpha/blend in jnp. A
-    'ray' is one traced path of ONE forward render, so the ideal cost
-    is ~2x a forward render + 2x a light-VJP sweep per ray."""
+    """Soft-silhouette training step on the KERNEL path: ONE fused
+    value-and-grad dispatch per step (gradkernel.render_soft_loss_and_
+    grad_pallas — both rows traced in one in-kernel vjp, the alpha
+    blend + MSE in-kernel, alpha cotangent returned for the jnp
+    coverage path; round 5, was 2 dispatches r4-late / 4 dispatches
+    r4). A 'ray' is one traced path of ONE forward render; the step
+    traces the pair, so the floor is ~2x a forward render per ray plus
+    the reverse sweep."""
     from fourd_ray_tracing_tpu.diff import (
         soft_image_loss_pallas,
         with_frozen_hints,
@@ -458,7 +460,7 @@ def run_soft_train_workload(width, height, samples, bounces):
         "value": med, "min": lo, "max": hi,
         "unit": "rays/s", "rays_per_frame": rays,
         "vs_baseline": med / TARGET_RAYS_PER_S,
-        "note": "one 2-row render + one 2-row light-vjp dispatch per step",
+        "note": "one fused 2-row value-and-grad dispatch per step",
     })
     return med
 

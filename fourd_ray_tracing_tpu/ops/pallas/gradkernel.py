@@ -1070,3 +1070,373 @@ def sharded_loss_and_grad_pallas(
 
     scale = np.float32(1.0 / (total * 3))
     return loss * scale, _freeze_grads(rebuild(g_packed * scale), cfg)
+
+
+# --- Fused soft-silhouette value-and-grad kernel ------------------------------
+#
+# One dispatch per soft training step (VERDICT r4 #5 follow-through).
+# The two-dispatch pair form (render_light_pallas_multi forward +
+# render_light_vjp_pallas_multi backward) costs a full forward pair PLUS
+# a full re-traced VJP pair — measured 22.3 ms/step on room 1280x720x8
+# (tools/soft_ablate.py: 11.1 ms render pair + 11.2 ms VJP pair, glue
+# fully overlapped). This kernel computes the ENTIRE soft loss and all
+# its gradients the way the hard path's _loss_grad_kernel does — one
+# jax.vjp per tile whose linearization forward IS the only forward — so
+# the step pays ~1.2x ONE two-row render instead of ~2x.
+#
+# Key trick: the "without" scene never exists as a second packed operand.
+# `zero_object(scene, ref)` only rewrites radius leaves to literal
+# constants (0.0 circle family / -1.0 hypercube, diff.zero_object), so
+# the kernel re-reads the SAME packed params with those slots statically
+# replaced by their miss constants (`soft_zero_map`) — gradients of the
+# without-render w.r.t. the zeroed radii are exactly zero by
+# construction, matching the pair path's semantics, and both rows share
+# one rebuild closure and one set of frozen hints.
+#
+# The soft blend (shader-style tone map per row, alpha-weighted mix,
+# masked MSE — diff.soft_image_loss's estimator at the same seed) runs
+# in-kernel; the per-pixel coverage alpha arrives as an input tile and
+# its cotangent leaves as an output tile, so the cheap differentiable
+# coverage stays ordinary jnp AD outside (diff._soft_kernel_loss wires
+# the custom_vjp).
+
+
+def soft_zero_map(scene: Scene, camera: Camera, object_ref):
+    """Static (packed_index, miss_value) pairs: applying them to the
+    packed (scene, camera) vector yields exactly
+    `_pack_pytree((zero_object(scene, ref), camera))`.
+
+    Computed on an all-ones concrete TEMPLATE with the same treedef, so
+    it works under jit tracing (indices/values are Python constants) and
+    is immune to packing-order details: every slot the zeroing rewrites
+    differs from 1.0 on the template (0.0 or -1.0), every other slot is
+    untouched."""
+    from fourd_ray_tracing_tpu.diff import zero_object
+
+    leaves, treedef = jax.tree_util.tree_flatten((scene, camera))
+    ones = [np.ones(np.shape(l) or (), np.float32) for l in leaves]
+    t_scene, t_cam = jax.tree_util.tree_unflatten(treedef, ones)
+    # The template is concrete, but under an enclosing jit omnistaging
+    # would still stage these jnp ops into the trace; force compile-time
+    # evaluation so the map is Python constants either way.
+    with jax.ensure_compile_time_eval():
+        tz_scene = zero_object(t_scene, object_ref)
+        p_base = np.asarray(_pack_pytree((t_scene, t_cam))[0])
+        p_zero = np.asarray(_pack_pytree((tz_scene, t_cam))[0])
+    idx = np.nonzero(p_base != p_zero)[0]
+    if idx.size == 0:
+        raise ValueError(
+            f"object_ref {object_ref!r} produced no zeroable radius slots"
+        )
+    return tuple((int(i), float(p_zero[i])) for i in idx)
+
+
+def _soft_loss_grad_kernel(
+    params_ref, seed_ref, tile0_ref, target_ref, alpha_ref,
+    loss_ref, grad_ref, acot_ref, *,
+    rebuild, n_params: int, cfg: RenderConfig,
+    n_views: int, height: int, width: int, zero_map,
+    vector_store: bool = False,
+):
+    """One tile of the fused soft-silhouette loss+grad. Identical
+    skeleton to _loss_grad_kernel; differences: (a) the sample chunk
+    traces BOTH rows (scene and its statically-zeroed copy) so one
+    jax.vjp covers the pair, (b) the tile loss blends the two rows'
+    tone-mapped colors with the alpha input tile before the masked MSE,
+    (c) the alpha cotangent is a third output (VMEM tile)."""
+    seed = seed_ref[0].astype(jnp.uint32)
+    pid = pl.program_id(0) + tile0_ref[0]
+    scr_x, scr_y, view, valid = _tile_pixels(cfg, n_views, height, width, pid)
+    tile_zero = jnp.zeros(scr_x.shape, jnp.float32)
+    pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
+    counter0 = rng.init_counter(seed, pixel_bits.shape)
+    vals = tuple(params_ref[k] for k in range(n_params))
+    inv_s = np.float32(1.0 / cfg.samples)
+
+    def primary(vals):
+        scene, camera = rebuild(vals)
+        top, right, vec_to_mtr, focus = _tile_camera(
+            camera, view, n_views, tile_zero
+        )
+        mx = (scr_x - 0.5) * camera.mtr_width
+        my = (0.5 - scr_y) * camera.mtr_height
+        d = normalize(vec_to_mtr + top * my + right * mx)
+        return scene, focus, d
+
+    def sample_light(scene, o, d, pre0, s):
+        bits = sample_stream_bits(pixel_bits, s.astype(jnp.uint32))
+        light, _ = _trace_rays_kernel(
+            scene, o, d, bits, seed, counter0, cfg, pre0=pre0, unroll=True
+        )
+        return light
+
+    t = Vec3(target_ref[0, 0], target_ref[0, 1], target_ref[0, 2])
+    alpha_in = alpha_ref[0]
+    vmask = jnp.where(valid, 1.0, 0.0)
+
+    def tile_loss(acc6, alpha):
+        lw = Vec3(acc6[0], acc6[1], acc6[2]) * inv_s
+        lo = Vec3(acc6[3], acc6[4], acc6[5]) * inv_s
+        cw = light_to_color(lw, jnp.float32(cfg.light_coefficient))
+        co = light_to_color(lo, jnp.float32(cfg.light_coefficient))
+        loss = jnp.float32(0.0)
+        for w_ch, o_ch, t_ch in zip(
+            (cw.x, cw.y, cw.z), (co.x, co.y, co.z), (t.x, t.y, t.z)
+        ):
+            img = alpha * w_ch + (1.0 - alpha) * o_ch
+            loss = loss + jnp.sum(vmask * (img - t_ch) ** 2)
+        return loss
+
+    G = max(1, int(cfg.grad_sample_chunk))
+
+    def chunk_fn(s):
+        def f(*vals):
+            scene, o, d = primary(vals)
+            vals_b = list(vals)
+            for i, v in zero_map:
+                vals_b[i] = jnp.float32(v)
+            scene_b, _cam_b = rebuild(tuple(vals_b))
+            pre0 = precompute_bounce0(scene, o, d, cfg)
+            pre0_b = precompute_bounce0(scene_b, o, d, cfg)
+            acc = Vec3.full(0.0, like=tile_zero)
+            acc_b = Vec3.full(0.0, like=tile_zero)
+            for gi in range(G):
+                acc = acc + sample_light(scene, o, d, pre0, s + gi)
+                acc_b = acc_b + sample_light(scene_b, o, d, pre0_b, s + gi)
+            return acc.x, acc.y, acc.z, acc_b.x, acc_b.y, acc_b.z
+
+        return f
+
+    lpid = pl.program_id(0)
+    zero_g = tuple(jnp.float32(0.0) for _ in range(n_params))
+    if G == cfg.samples:
+        # Fused single-sweep: ONE vjp's linearization forward is the only
+        # forward; cotangents (rows AND alpha) derive from the in-kernel
+        # blend loss, transpose goes straight to the P param cotangents.
+        acc6, vjp_fn = jax.vjp(chunk_fn(jnp.int32(0)), *vals)
+        loss_val, tl_vjp = jax.vjp(tile_loss, acc6, alpha_in)
+        cot6, cot_alpha = tl_vjp(jnp.float32(1.0))
+        loss_ref[lpid, 0] = loss_val
+        g = vjp_fn(cot6)
+    else:
+        # Two-pass fallback (grad_sample_chunk < samples): forward both
+        # rows for the loss + alpha cotangent, then chunked reverse.
+        scene_f, o_f, d_f = primary(vals)
+        vals_b = list(vals)
+        for i, v in zero_map:
+            vals_b[i] = jnp.float32(v)
+        scene_bf, _ = rebuild(tuple(vals_b))
+        pre0_f = precompute_bounce0(scene_f, o_f, d_f, cfg)
+        pre0_bf = precompute_bounce0(scene_bf, o_f, d_f, cfg)
+
+        def body(s, accs):
+            aw, ab = accs
+            aw = aw + sample_light(scene_f, o_f, d_f, pre0_f, s)
+            ab = ab + sample_light(scene_bf, o_f, d_f, pre0_bf, s)
+            return aw, ab
+
+        aw, ab = jax.lax.fori_loop(
+            0, cfg.samples, body,
+            (Vec3.full(0.0, like=tile_zero), Vec3.full(0.0, like=tile_zero)),
+        )
+        acc6_f = (aw.x, aw.y, aw.z, ab.x, ab.y, ab.z)
+        loss_val, tl_vjp = jax.vjp(tile_loss, acc6_f, alpha_in)
+        cot6, cot_alpha = tl_vjp(jnp.float32(1.0))
+        loss_ref[lpid, 0] = loss_val
+
+        def grad_body(i, g):
+            _, vjp_fn = jax.vjp(chunk_fn(i * G), *vals)
+            gs = vjp_fn(cot6)
+            return tuple(a + b for a, b in zip(g, gs))
+
+        g = jax.lax.fori_loop(0, cfg.samples // G, grad_body, zero_g)
+    acot_ref[0] = cot_alpha
+    if vector_store:
+        grad_ref[lpid, :] = jnp.stack(g)  # see _loss_grad_kernel note
+    else:
+        for k in range(n_params):
+            grad_ref[lpid, k] = g[k]
+
+
+def _alpha_tiles(alpha, total: int, n_tiles: int, sublanes: int):
+    """Coverage plane -> (tiles, sublanes, 128); padded lanes zero."""
+    tile = sublanes * LANES
+    a = jnp.asarray(alpha, jnp.float32).reshape(total)
+    a = jnp.pad(a, (0, n_tiles * tile - total))
+    return a.reshape(n_tiles, sublanes, LANES)
+
+
+def _soft_launch(packed, rebuild, seed, tile0, t_tiles, a_tiles, cfg,
+                 n_views, height, width, zero_map, interpret, vma=None):
+    """One fused soft loss+grad launch. Returns (loss_parts, grad_parts,
+    alpha_cot_tiles) — loss/grads UNSCALED per-tile sums; alpha
+    cotangents tile-shaped (the caller unpads and scales)."""
+    n_params = int(packed.shape[0])
+    n_tiles = int(t_tiles.shape[0])
+    sublanes = cfg.tile_sublanes
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+    tile0_arr = jnp.asarray(tile0, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _soft_loss_grad_kernel, rebuild=rebuild, n_params=n_params, cfg=cfg,
+        n_views=n_views, height=height, width=width, zero_map=zero_map,
+        vector_store=bool(interpret),
+    )
+
+    def out_struct(shape):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 3, sublanes, LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, sublanes, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, sublanes, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            out_struct((n_tiles, 1)),
+            out_struct((n_tiles, n_params)),
+            out_struct((n_tiles, sublanes, LANES)),
+        ),
+        interpret=interpret,
+        compiler_params=_grad_compiler_params(interpret),
+    )(packed, seed_arr, tile0_arr, t_tiles, a_tiles)
+
+
+def render_soft_loss_and_grad_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target, alpha,
+    object_ref, interpret: bool | None = None,
+):
+    """(loss, (grad_scene, grad_camera), grad_alpha) of the
+    soft-silhouette MSE — BOTH rows, the blend, AND all gradients in ONE
+    kernel dispatch. Semantically `jax.value_and_grad` of
+    diff.soft_image_loss's estimator at fixed alpha (the alpha plane is
+    an independent input here; its cotangent comes back so the caller
+    backpropagates the coverage path in jnp). Same seed => same estimator
+    as the two-dispatch pair form, up to float re-association.
+
+    ``object_ref`` must be zero-emulatable (diff.zero_object): spheres,
+    cylinders, cylinders_union, tiger, hypercube.
+    """
+    cfg = _auto_hints(scene, cfg)
+    zero_map = soft_zero_map(scene, camera, object_ref)
+    return _render_soft_loss_and_grad_jit(
+        scene, camera, cfg, seed, target, alpha, zero_map, interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "zero_map", "interpret")
+)
+def _render_soft_loss_and_grad_jit(
+    scene, camera, cfg, seed, target, alpha, zero_map,
+    interpret: bool | None = None,
+):
+    _check_cfg(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    tile = cfg.tile_sublanes * LANES
+    total = n_views * height * width
+    n_tiles = pl.cdiv(total, tile)
+    t_tiles = _target_tiles(target, total, n_tiles, cfg.tile_sublanes)
+    a_shape = jnp.shape(alpha)
+    a_tiles = _alpha_tiles(alpha, total, n_tiles, cfg.tile_sublanes)
+
+    loss_parts, grad_parts, acot_tiles = _soft_launch(
+        packed, rebuild, seed, 0, t_tiles, a_tiles, cfg, n_views, height,
+        width, zero_map, interpret,
+    )
+    scale = np.float32(1.0 / (total * 3))
+    loss = jnp.sum(loss_parts) * scale
+    g_packed = jnp.sum(grad_parts, axis=0) * scale
+    grads = _freeze_grads(rebuild(g_packed), cfg)
+    g_alpha = (acot_tiles.reshape(-1)[:total] * scale).reshape(a_shape)
+    return loss, grads, g_alpha
+
+
+def sharded_soft_loss_and_grad_pallas(
+    scene: Scene, camera: Camera, cfg: RenderConfig, seed, target, alpha,
+    object_ref, mesh, interpret: bool | None = None,
+):
+    """`render_soft_loss_and_grad_pallas` with the tile axis sharded over
+    ``mesh`` — the multi-chip soft training path in ONE dispatch per
+    device. Loss/gradients psum over ICI (equal to single-device up to
+    reduction order); each device keeps its own alpha-cotangent block and
+    the gather back to the full plane is the shard_map output."""
+    cfg = _auto_hints(scene, cfg)
+    _check_cfg(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    zero_map = soft_zero_map(scene, camera, object_ref)
+    top_x = jnp.asarray(camera.top.x)
+    n_views = int(top_x.shape[0]) if top_x.ndim > 0 else 1
+    height, width = cfg.height, cfg.width
+
+    packed, rebuild = _pack_pytree((scene, camera))
+    tile = cfg.tile_sublanes * LANES
+    total = n_views * height * width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_tiles = pl.cdiv(total, tile)
+    n_tiles = pl.cdiv(n_tiles, n_dev) * n_dev
+    tiles_local = n_tiles // n_dev
+    t_tiles = _target_tiles(target, total, n_tiles, cfg.tile_sublanes)
+    a_shape = jnp.shape(alpha)
+    a_tiles = _alpha_tiles(alpha, total, n_tiles, cfg.tile_sublanes)
+
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local(packed, seed, t_tiles_local, a_tiles_local):
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        loss_parts, grad_parts, acot_local = _soft_launch(
+            packed, rebuild, seed, idx * tiles_local, t_tiles_local,
+            a_tiles_local, cfg, n_views, height, width, zero_map,
+            interpret, vma=axes,
+        )
+        loss = jax.lax.psum(jnp.sum(loss_parts), axes)
+        g = jax.lax.psum(jnp.sum(grad_parts, axis=0), axes)
+        return loss, g, acot_local
+
+    # check_vma=False: same pinned pallas-internals workaround as
+    # sharded_loss_and_grad_pallas (tools/repro_check_vma.py).
+    loss, g_packed, acot_tiles = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(axes)),
+        out_specs=(P(), P(), P(axes)),
+        check_vma=False,
+    )(packed, jnp.asarray(seed, jnp.uint32), t_tiles, a_tiles)
+
+    scale = np.float32(1.0 / (total * 3))
+    grads = _freeze_grads(rebuild(g_packed * scale), cfg)
+    g_alpha = (acot_tiles.reshape(-1)[:total] * scale).reshape(a_shape)
+    return loss * scale, grads, g_alpha

@@ -602,3 +602,86 @@ def test_soft_pallas_mesh_matches_single_device():
         ])
 
     np.testing.assert_allclose(flat(sn), flat(s1), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "scene_name, ref",
+    [
+        ("room_with_sphere", ("spheres", 0)),
+        ("duocylinder", ("cylinders_union", None)),
+        ("tiger", ("tiger", None)),
+        ("hypercube", ("hypercube", None)),
+    ],
+)
+def test_soft_fused_kernel_matches_jnp(scene_name, ref):
+    """The fused one-dispatch soft kernel (round 5): loss bit-matches the
+    jnp soft loss at the same seed and every gradient matches the jnp
+    value_and_grad under the freeze-hints contract — for every
+    zero-emulatable object kind, including the tiger's 8-face fold and
+    the hypercube's paired cells unrolling TWICE (both rows) through the
+    in-kernel vjp."""
+    from fourd_ray_tracing_tpu.diff import (
+        soft_image_loss,
+        soft_image_loss_pallas,
+        with_frozen_hints,
+    )
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.models.scene import freeze_hint_grads
+
+    scene = library.SCENES[scene_name]()
+    camera = default_camera()
+    cfg = RenderConfig(width=32, height=16, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    cfgh = with_frozen_hints(cfg, scene)
+    target = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 1, (cfg.height, cfg.width, 3)),
+        jnp.float32,
+    )
+
+    l_j, g_j = jax.value_and_grad(
+        lambda s: soft_image_loss(s, camera, cfg, np.uint32(SEED), target,
+                                  object_ref=ref, edge_width=0.08)
+    )(scene)
+    l_k, g_k = jax.value_and_grad(
+        lambda s: soft_image_loss_pallas(s, camera, cfgh, np.uint32(SEED),
+                                         target, ref, 0.08)
+    )(scene)
+    # Same estimator, same RNG streams; only float re-association.
+    np.testing.assert_allclose(float(l_k), float(l_j), rtol=1e-5)
+
+    g_jf = freeze_hint_grads(g_j, cfgh.plane_hints, cfgh.axis_hints)
+    for lj, lk in zip(jax.tree_util.tree_leaves(g_jf),
+                      jax.tree_util.tree_leaves(g_k)):
+        a, b = np.asarray(lj, np.float32), np.asarray(lk, np.float32)
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=5e-6 * max(1.0, float(np.abs(a).max()))
+        )
+
+
+def test_soft_fused_kernel_quick():
+    """Quick-tier smoke of the fused soft kernel: finite loss, gradients
+    flow to the soft sphere's center AND through the coverage-alpha path
+    (radius), and the loss equals the jnp soft loss."""
+    from fourd_ray_tracing_tpu.diff import soft_image_loss, soft_image_loss_pallas
+    from fourd_ray_tracing_tpu.models import library
+
+    scene = library.room_with_sphere()
+    camera = default_camera()
+    cfg = RenderConfig(width=32, height=16, samples=1, reflections_amount=1,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    ref = ("spheres", 1) if len(scene.spheres) > 1 else ("spheres", 0)
+
+    l_k, g_k = jax.value_and_grad(
+        lambda s: soft_image_loss_pallas(s, camera, cfg, np.uint32(SEED),
+                                         target, ref, 0.08)
+    )(scene)
+    l_j = soft_image_loss(scene, camera, cfg, np.uint32(SEED), target,
+                          object_ref=ref, edge_width=0.08)
+    np.testing.assert_allclose(float(l_k), float(l_j), rtol=1e-5)
+    sp = g_k.spheres[ref[1]]
+    flat = np.asarray([sp.center.x, sp.center.y, sp.center.z, sp.center.w,
+                       sp.r], np.float32)
+    assert np.isfinite(flat).all()
+    assert np.abs(flat).max() > 0.0
