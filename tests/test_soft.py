@@ -659,6 +659,43 @@ def test_soft_fused_kernel_matches_jnp(scene_name, ref):
         )
 
 
+@pytest.mark.slow
+def test_soft_fused_kernel_two_pass_matches_fused():
+    """The fused soft kernel's chunked two-pass branch
+    (grad_sample_chunk < samples): loss bit-matches the fused
+    single-sweep form and gradients agree up to chunk re-association —
+    the high-spp fallback stays correct."""
+    import dataclasses
+
+    from fourd_ray_tracing_tpu.diff import soft_image_loss_pallas
+    from fourd_ray_tracing_tpu.models import library
+
+    scene = library.room_with_sphere()
+    camera = default_camera()
+    cfg = RenderConfig(width=32, height=16, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    target = jnp.asarray(
+        np.random.default_rng(6).uniform(0, 1, (cfg.height, cfg.width, 3)),
+        jnp.float32,
+    )
+    ref = ("spheres", 0)
+
+    def loss_with(cfg_):
+        return jax.value_and_grad(
+            lambda s: soft_image_loss_pallas(s, camera, cfg_, np.uint32(SEED),
+                                             target, ref, 0.08)
+        )(scene)
+
+    l_f, g_f = loss_with(cfg)  # G == samples: fused single-sweep
+    l_2, g_2 = loss_with(dataclasses.replace(cfg, grad_sample_chunk=1))
+    np.testing.assert_array_equal(np.float32(l_2), np.float32(l_f))
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_2)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_soft_fused_kernel_quick():
     """Quick-tier smoke of the fused soft kernel: finite loss, gradients
     flow to the soft sphere's center AND through the coverage-alpha path

@@ -29,7 +29,6 @@ Run: python tools/soft_ablate.py  [WIDTH=.. HEIGHT=.. ROUNDS=..]
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
