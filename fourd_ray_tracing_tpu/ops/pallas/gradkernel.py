@@ -1099,6 +1099,14 @@ def sharded_loss_and_grad_pallas(
 # its cotangent leaves as an output tile, so the cheap differentiable
 # coverage stays ordinary jnp AD outside (diff._soft_kernel_loss wires
 # the custom_vjp).
+#
+# Tile sweep (room 1280x720x8x4, same-process back-to-back, v5e): 16 ->
+# 0.463, 32 -> 0.460, 64 -> 0.473-0.478, 128 -> 0.462 Gray/s. Unlike
+# the hard-path kernel (32 optimal, 64 = -14%), the two-row soft kernel
+# prefers 64 sublanes by ~3% — more rows per program amortize the
+# doubled per-tile setup. The margin is inside cross-phase noise, so
+# the default stays the shared cfg.tile_sublanes; pass 64 explicitly
+# for long soft optimizations.
 
 
 def soft_zero_map(scene: Scene, camera: Camera, object_ref):

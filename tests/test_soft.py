@@ -722,3 +722,44 @@ def test_soft_fused_kernel_quick():
                        sp.r], np.float32)
     assert np.isfinite(flat).all()
     assert np.abs(flat).max() > 0.0
+
+
+def test_soft_zero_map_matches_zero_object_packing():
+    """soft_zero_map's static (index, value) pairs, applied to the
+    packed (scene, camera) vector, reproduce exactly
+    _pack_pytree((zero_object(scene, ref), camera)) — the contract the
+    fused soft kernel's in-kernel without-row relies on — for every
+    zero-emulatable kind, eagerly and under jit tracing."""
+    from fourd_ray_tracing_tpu.diff import zero_object
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import soft_zero_map
+    from fourd_ray_tracing_tpu.ops.pallas.megakernel import _pack_pytree
+
+    camera = default_camera()
+    cases = [
+        ("room_with_sphere", ("spheres", 0)),
+        ("duocylinder", ("cylinders_union", None)),
+        ("tiger", ("tiger", None)),
+        ("hypercube", ("hypercube", None)),
+    ]
+    for scene_name, ref in cases:
+        scene = library.SCENES[scene_name]()
+        zmap = soft_zero_map(scene, camera, ref)
+        packed = np.asarray(_pack_pytree((scene, camera))[0])
+        expect = np.asarray(
+            _pack_pytree((zero_object(scene, ref), camera))[0]
+        )
+        got = packed.copy()
+        for i, v in zmap:
+            got[i] = v
+        np.testing.assert_array_equal(got, expect, err_msg=f"{scene_name}")
+        # Under jit tracing the map must come out identical (it is
+        # computed from the treedef + a concrete template only).
+        traced = {}
+
+        def probe(s, c):
+            traced["zmap"] = soft_zero_map(s, c, ref)
+            return jnp.float32(0.0)
+
+        jax.jit(probe)(scene, camera)
+        assert traced["zmap"] == zmap, scene_name
