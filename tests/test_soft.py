@@ -763,3 +763,54 @@ def test_soft_zero_map_matches_zero_object_packing():
 
         jax.jit(probe)(scene, camera)
         assert traced["zmap"] == zmap, scene_name
+
+
+@pytest.mark.slow
+def test_pallas_render_light_pair_sharded_matches_single():
+    """The mesh-sharded pair render (the multi-chip path for CUSTOM
+    jnp losses over a with/without pair — since the round-5 fusion the
+    built-in soft MSE goes through the fused kernel instead): rows
+    bit-match the single-device pair and value_and_grad of a sum-loss
+    matches up to psum re-association."""
+    from fourd_ray_tracing_tpu.diff import (
+        pallas_render_light_pair,
+        pallas_render_light_pair_sharded,
+        zero_object,
+    )
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.parallel.mesh import make_mesh
+
+    cfg = RenderConfig(width=32, height=16, samples=2, reflections_amount=2,
+                       light_coefficient=0.3, rng_mode="per_sample")
+    camera = default_camera()
+    scene = library.room_with_sphere()
+    without = zero_object(scene, ("spheres", 0))
+    mesh = make_mesh(rays=4, samples=2)
+
+    pair_1 = pallas_render_light_pair(scene, without, camera, cfg, np.uint32(7))
+    pair_n = pallas_render_light_pair_sharded(
+        scene, without, camera, cfg, np.uint32(7), mesh
+    )
+    np.testing.assert_array_equal(np.asarray(pair_n), np.asarray(pair_1))
+
+    def loss_via(fn):
+        def f(s):
+            return jnp.sum(fn(s) ** 2)
+        return jax.value_and_grad(f)
+
+    l1, g1 = loss_via(
+        lambda s: pallas_render_light_pair(
+            s, zero_object(s, ("spheres", 0)), camera, cfg, np.uint32(7)
+        )
+    )(scene)
+    ln, gn = loss_via(
+        lambda s: pallas_render_light_pair_sharded(
+            s, zero_object(s, ("spheres", 0)), camera, cfg, np.uint32(7), mesh
+        )
+    )(scene)
+    np.testing.assert_allclose(float(ln), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(gn)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
