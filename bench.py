@@ -414,6 +414,57 @@ def run_train_scan_workload(width, height, samples, bounces, k=4):
     return med
 
 
+def run_train_minibatch_workload(width, height, samples, bounces, f=4):
+    """MINIBATCH training throughput (round 5): one full optimizer step
+    whose gradient averages ``f`` independent estimator samples — the
+    frame axis of ONE (frames, tiles)-grid value-and-grad dispatch
+    (gradkernel._loss_grad_kernel n_frames). Sequential optimizer steps
+    cannot batch across a jit like the forward's frames_per_launch
+    does; the minibatch axis CAN, so this is the per-ray-fastest (and
+    lowest-gradient-variance) way to spend rays on training. Packed-
+    space adam, scalar seed in, frame seeds derived statically."""
+    import optax
+
+    from fourd_ray_tracing_tpu.diff import (
+        make_packed_train_step,
+        with_frozen_hints,
+    )
+
+    cfg = RenderConfig(
+        width=width, height=height, samples=samples,
+        reflections_amount=bounces, light_coefficient=0.12,
+        sampler_method=SAMPLER, rng_mode="per_sample", intersect="fast",
+        tile_sublanes=TILE_SUBLANES,
+    )
+    scene0 = library.SCENES["room_with_sphere"]()
+    cfg = with_frozen_hints(cfg, scene0)
+    camera = default_camera()
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    opt = optax.adam(1e-3)
+
+    step, init, _unpack = make_packed_train_step(
+        cfg, opt, camera, scene0, frames_per_step=f
+    )
+    vec0, opt_state0 = init(scene0)
+
+    def fn(seed):
+        _vec, _st, loss = step(vec0, opt_state0, jnp.uint32(seed), target)
+        return loss
+
+    rays = width * height * samples * f
+    loss = jax.block_until_ready(fn(np.uint32(1)))
+    assert bool(jnp.isfinite(loss)), "non-finite loss in minibatch bench"
+    lo, med, hi = time_rounds(fn, rays, frames=FRAMES)
+    emit({
+        "metric": "grad_rays_per_second", "workload": f"train_minibatch{f}",
+        "scene": "room_with_sphere", "impl": "pallas",
+        "value": med, "min": lo, "max": hi,
+        "unit": "rays/s", "rays_per_frame": rays, "frames_per_step": f,
+        "vs_baseline": med / TARGET_RAYS_PER_S,
+    })
+    return med
+
+
 def run_soft_train_workload(width, height, samples, bounces):
     """Soft-silhouette training step on the KERNEL path: ONE fused
     value-and-grad dispatch per step (gradkernel.render_soft_loss_and_
@@ -566,6 +617,8 @@ def main():
                       impl=grad_impl)
     if grad_impl == "pallas":
         run_train_scan_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES)
+        run_train_minibatch_workload(grad_res[0], grad_res[1], SAMPLES,
+                                     BOUNCES)
         # The heaviest scene through the grad kernel (VERDICT r4 #3):
         # pass 2 unrolls the reverse bounce loop over the tiger fold.
         run_grad_workload(grad_res[0], grad_res[1], SAMPLES, BOUNCES,

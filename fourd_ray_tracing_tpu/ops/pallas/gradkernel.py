@@ -112,14 +112,35 @@ def _loss_grad_kernel(
     params_ref, seed_ref, tile0_ref, target_ref, loss_ref, grad_ref, *,
     rebuild, n_params: int, cfg: RenderConfig,
     n_views: int, height: int, width: int, vector_store: bool = False,
+    n_frames: int = 1,
 ):
-    seed = seed_ref[0].astype(jnp.uint32)
+    # n_frames > 1: grid = (frames, tiles) — the MINIBATCH axis. Each
+    # frame program reads its own seed (seed_ref is (F,)) and
+    # contributes an independent estimator sample of the SAME loss.
+    # This buys the grad kernel the same dispatch-grid amortization the
+    # forward's frames_per_launch axis buys (megakernel._kernel), which
+    # sequential optimizer steps cannot: measured 0.849 -> 1.176 Gray/s
+    # at F=4 (F=8: 1.115 — past the knee), full adam step 1.165, room
+    # 1280x720x8x4 same-phase. Frames ACCUMULATE into the
+    # per-tile output rows in-kernel — TPU grid programs execute
+    # sequentially, so the f>0 read-modify-write is race-free, and the
+    # outputs stay (tiles, P): an (F*tiles, P) SMEM layout was measured
+    # to blow the 1 MiB SMEM space at production shape (F=4: 1.33 MiB).
+    if n_frames > 1:
+        fprog = pl.program_id(0)
+        tprog = pl.program_id(1)
+        seed = seed_ref[fprog].astype(jnp.uint32)
+    else:
+        fprog = None
+        tprog = pl.program_id(0)
+        seed = seed_ref[0].astype(jnp.uint32)
+    lrow = tprog
     # tile0: global index of this launch's first tile — 0 single-device;
     # device_index * tiles_local under mesh sharding (the tile axis IS
     # the shard axis, see sharded_loss_and_grad_pallas). Pixel coords and
     # RNG streams derive from the GLOBAL tile index, so sharding never
     # changes loss or gradients (SURVEY §4.6).
-    pid = pl.program_id(0) + tile0_ref[0]
+    pid = tprog + tile0_ref[0]
     scr_x, scr_y, view, valid = _tile_pixels(cfg, n_views, height, width, pid)
     tile_zero = jnp.zeros(scr_x.shape, jnp.float32)
     pixel_bits = rng.pixel_stream_bits(scr_x, scr_y)
@@ -183,7 +204,6 @@ def _loss_grad_kernel(
 
         return f
 
-    lpid = pl.program_id(0)
     zero_g = tuple(jnp.float32(0.0) for _ in range(n_params))
     if G == cfg.samples and not DEBUG_SKIP_PASS2:
         # --- fused single-sweep form (G == samples) -------------------
@@ -202,7 +222,6 @@ def _loss_grad_kernel(
         acc_xyz, vjp_fn = jax.vjp(chunk_fn(jnp.int32(0)), *vals)
         loss_val, tl_vjp = jax.vjp(tile_loss, acc_xyz)
         (cot_acc,) = tl_vjp(jnp.float32(1.0))
-        loss_ref[lpid, 0] = loss_val
         g = vjp_fn(cot_acc)
     else:
         # --- two-pass form (sample chunks; also the DEBUG_SKIP_PASS2
@@ -220,11 +239,6 @@ def _loss_grad_kernel(
         )
         loss_val, tl_vjp = jax.vjp(tile_loss, (acc.x, acc.y, acc.z))
         (cot_acc,) = tl_vjp(jnp.float32(1.0))
-        # Outputs live as FULL (tiles, ...) SMEM arrays (Mosaic's
-        # blocked specs require (8,128)-divisible tails); each program
-        # writes its LOCAL row (outputs are per-launch: program_id, not
-        # pid).
-        loss_ref[lpid, 0] = loss_val
 
         # pass 2: chunked reverse sweep. acc = sum_s light_s, so every
         # sample's light carries the SAME cotangent cot_acc; each body
@@ -241,6 +255,20 @@ def _loss_grad_kernel(
             g = zero_g
         else:
             g = jax.lax.fori_loop(0, cfg.samples // G, grad_body, zero_g)
+    # Outputs live as FULL (tiles, ...) SMEM arrays (Mosaic's blocked
+    # specs require (8,128)-divisible tails); each program writes its
+    # LOCAL tile row (outputs are per-launch: program_id, not pid). In
+    # minibatch mode frame f > 0 ACCUMULATES onto frame 0's row — the
+    # where() masks the f == 0 read of uninitialized SMEM to exact 0.
+    if n_frames > 1:
+        first = fprog == 0
+        loss_val = jnp.where(first, 0.0, loss_ref[lrow, 0]) + loss_val
+        if not vector_store:
+            g = tuple(
+                jnp.where(first, 0.0, grad_ref[lrow, k]) + g[k]
+                for k in range(n_params)
+            )
+    loss_ref[lrow, 0] = loss_val
     if vector_store:
         # Interpret mode (CPU tests/dryruns): ONE row store. n_params
         # chained scalar stores lower to a dynamic-update-slice chain
@@ -248,10 +276,13 @@ def _loss_grad_kernel(
         # loop under SPMD partitioning (VERDICT r3 weak #4; minimal
         # repro: any 2-output SMEM pallas_call with ~150 scalar stores
         # inside shard_map). Mosaic SMEM stores stay scalar.
-        grad_ref[lpid, :] = jnp.stack(g)
+        row = jnp.stack(g)
+        if n_frames > 1:
+            row = jnp.where(first, jnp.float32(0.0), grad_ref[lrow, :]) + row
+        grad_ref[lrow, :] = row
     else:
         for k in range(n_params):
-            grad_ref[lpid, k] = g[k]
+            grad_ref[lrow, k] = g[k]
 
 
 def _light_vjp_kernel(
@@ -597,6 +628,13 @@ def render_loss_and_grad_pallas(
     per-parameter gradients reduce per tile in-kernel and sum over tiles
     here.
 
+    ``seed`` may be a (F,) vector: F independent estimator samples of
+    the SAME loss render as the frame axis of ONE (F, tiles)-grid
+    dispatch and average — the minibatch step. Loss and gradients equal
+    the mean of the F scalar-seed calls up to re-association, at the
+    forward kernel's frames_per_launch amortization instead of F
+    dispatches.
+
     With ``cfg.freeze_hints`` the kernel runs the forward's static
     plane/pair/axis hints (bit-identical loss) and zeroes the frozen
     parameters' gradients (RenderConfig.freeze_hints contract); hints are
@@ -685,12 +723,16 @@ def _launch(packed, rebuild, seed, tile0, t_tiles, cfg, n_views, height,
     n_params = int(packed.shape[0])
     n_tiles = int(t_tiles.shape[0])
     sublanes = cfg.tile_sublanes
-    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(1)
+    # Scalar seed -> 1-frame launch; (F,) seed vector -> minibatch grid
+    # (F, tiles): F independent estimator samples of the same loss in
+    # ONE dispatch (see _loss_grad_kernel's n_frames note).
+    seed_arr = jnp.asarray(seed, jnp.uint32).astype(jnp.int32).reshape(-1)
+    n_frames = int(seed_arr.shape[0])
     tile0_arr = jnp.asarray(tile0, jnp.int32).reshape(1)
     kernel = functools.partial(
         _loss_grad_kernel, rebuild=rebuild, n_params=n_params, cfg=cfg,
         n_views=n_views, height=height, width=width,
-        vector_store=bool(interpret),
+        vector_store=bool(interpret), n_frames=n_frames,
     )
 
     def out_struct(shape):
@@ -698,18 +740,29 @@ def _launch(packed, rebuild, seed, tile0, t_tiles, cfg, n_views, height,
             return jax.ShapeDtypeStruct(shape, jnp.float32)
         return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
 
+    if n_frames > 1:
+        grid = (n_frames, n_tiles)
+        t_spec = pl.BlockSpec(
+            (1, 3, sublanes, LANES),
+            lambda f, i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        grid = (n_tiles,)
+        t_spec = pl.BlockSpec(
+            (1, 3, sublanes, LANES),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 3, sublanes, LANES),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            t_spec,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -746,7 +799,8 @@ def _render_loss_and_grad_jit(
         packed, rebuild, seed, 0, t_tiles, cfg, n_views, height, width,
         interpret,
     )
-    scale = np.float32(1.0 / (total * 3))
+    n_frames = max(1, int(np.prod(jnp.shape(seed))))
+    scale = np.float32(1.0 / (n_frames * total * 3))
     loss = jnp.sum(loss_parts) * scale
     g_packed = jnp.sum(grad_parts, axis=0) * scale
     grads = _freeze_grads(rebuild(g_packed), cfg)
@@ -968,14 +1022,18 @@ def make_packed_loss_and_grad(
     scale = np.float32(1.0 / (total * 3))
 
     def fn(scene_vec, seed, target):
+        # A (F,) seed vector runs the F-frame minibatch grid (see
+        # _loss_grad_kernel's n_frames note); loss/grads average.
         full = jnp.concatenate([scene_vec, cam_vec])
         t_tiles = _target_tiles(target, total, n_tiles, cfg.tile_sublanes)
         loss_parts, grad_parts = _launch(
             full, rebuild, seed, 0, t_tiles, cfg, n_views, height, width,
             interpret,
         )
-        loss = jnp.sum(loss_parts) * scale
-        g = jnp.sum(grad_parts[:, :n_scene], axis=0) * scale
+        n_frames = max(1, int(np.prod(jnp.shape(seed))))
+        fscale = np.float32(scale / n_frames)
+        loss = jnp.sum(loss_parts) * fscale
+        g = jnp.sum(grad_parts[:, :n_scene], axis=0) * fscale
         if mask_vec is not None:
             g = g * mask_vec
         return loss, g
@@ -1068,7 +1126,8 @@ def sharded_loss_and_grad_pallas(
         check_vma=False,
     )(packed, jnp.asarray(seed, jnp.uint32), t_tiles)
 
-    scale = np.float32(1.0 / (total * 3))
+    n_frames = max(1, int(np.prod(jnp.shape(seed))))
+    scale = np.float32(1.0 / (n_frames * total * 3))
     return loss * scale, _freeze_grads(rebuild(g_packed * scale), cfg)
 
 

@@ -415,3 +415,121 @@ def test_freeze_hint_grads_all_branches():
             for a in frozen.hypercube.axes:
                 assert all(float(np.asarray(x)) == 0.0 for x in a), scene_name
             assert float(np.asarray(frozen.hypercube.r)) == 1.0
+
+
+# --- Minibatch frame grid (round 5) ------------------------------------------
+
+
+def test_minibatch_grads_match_mean_of_singles():
+    """A (F,) seed vector runs the kernel's minibatch grid — F
+    independent estimator samples accumulated in-kernel into the same
+    per-tile rows. Loss and every gradient must equal the MEAN of the F
+    scalar-seed calls up to float re-association."""
+    from fourd_ray_tracing_tpu.models import library
+
+    scene = library.SCENES["room_with_sphere"]()
+    camera = default_camera()
+    target = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (CFG.height, CFG.width, 3)),
+        jnp.float32,
+    )
+    seeds = (5, 6, 7)
+    singles = [
+        render_loss_and_grad_pallas(scene, camera, CFG, np.uint32(s), target)
+        for s in seeds
+    ]
+    lb, gb = render_loss_and_grad_pallas(
+        scene, camera, CFG, jnp.asarray(seeds, jnp.uint32), target
+    )
+    mean_loss = sum(float(l) for l, _ in singles) / len(seeds)
+    np.testing.assert_allclose(float(lb), mean_loss, rtol=1e-6)
+    mean_g = sum(_flat_grads(g) for _, g in singles) / len(seeds)
+    np.testing.assert_allclose(
+        _flat_grads(gb), mean_g, rtol=1e-5,
+        atol=1e-7 * max(1.0, float(np.abs(mean_g).max())),
+    )
+
+
+def test_minibatch_train_steps_reduce_loss():
+    """make_train_step / make_packed_train_step with frames_per_step=4:
+    the minibatch step runs, agrees between the pytree and packed forms,
+    and reduces the loss on a short fit."""
+    import optax
+
+    from fourd_ray_tracing_tpu.diff import (
+        make_packed_train_step,
+        make_train_step,
+    )
+    from fourd_ray_tracing_tpu.models import library
+
+    scene = library.SCENES["room_with_sphere"]()
+    camera = default_camera()
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    opt = optax.adam(1e-2)
+
+    step = make_train_step(CFG, opt, camera, impl="pallas",
+                           frames_per_step=4)
+    pstep, pinit, _unpack = make_packed_train_step(
+        CFG, opt, camera, scene, frames_per_step=4
+    )
+
+    s1, o1, loss1, _m = step(scene, opt.init(scene), np.uint32(3), target)
+    vec, ostate = pinit(scene)
+    vec2, ostate2, loss2 = pstep(vec, ostate, np.uint32(3), target)
+    # Same seeds, same kernel, same adam: packed == pytree.
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vec2), _flat_grads(s1)[: vec2.shape[0]], rtol=1e-5,
+        atol=1e-7,
+    )
+
+    losses = [float(loss2)]
+    for k in range(4, 8):
+        vec2, ostate2, l = pstep(vec2, ostate2, np.uint32(k), target)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
+
+
+def test_minibatch_rejected_off_kernel_path():
+    import optax
+
+    from fourd_ray_tracing_tpu.diff import make_train_step
+
+    with pytest.raises(ValueError):
+        make_train_step(CFG, optax.adam(1e-2), default_camera(),
+                        impl="xla", frames_per_step=4)
+    with pytest.raises(ValueError):
+        make_train_step(CFG, optax.adam(1e-2), default_camera(),
+                        impl="pallas", soft_object_ref=("spheres", 0),
+                        frames_per_step=4)
+
+
+@pytest.mark.slow
+def test_sharded_minibatch_matches_single_device():
+    """The minibatch frame grid composes with tile sharding: a (F,) seed
+    vector through sharded_loss_and_grad_pallas equals the single-device
+    minibatch call up to psum re-association."""
+    from fourd_ray_tracing_tpu.models import library
+    from fourd_ray_tracing_tpu.ops.pallas.gradkernel import (
+        sharded_loss_and_grad_pallas,
+    )
+    from fourd_ray_tracing_tpu.parallel.mesh import make_mesh
+
+    scene = library.SCENES["room_with_sphere"]()
+    camera = default_camera()
+    target = jnp.asarray(
+        np.random.default_rng(8).uniform(0, 1, (CFG.height, CFG.width, 3)),
+        jnp.float32,
+    )
+    seeds = jnp.asarray([5, 6], jnp.uint32)
+    mesh = make_mesh(rays=4, samples=2)
+
+    l1, g1 = render_loss_and_grad_pallas(scene, camera, CFG, seeds, target)
+    ln, gn = sharded_loss_and_grad_pallas(
+        scene, camera, CFG, seeds, target, mesh
+    )
+    np.testing.assert_allclose(float(ln), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(
+        _flat_grads(gn), _flat_grads(g1), rtol=1e-5,
+        atol=1e-7 * max(1.0, float(np.abs(_flat_grads(g1)).max())),
+    )
