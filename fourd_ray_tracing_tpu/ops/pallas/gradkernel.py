@@ -100,12 +100,18 @@ DEBUG_SKIP_PASS2 = False
 GRAD_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
-def _grad_compiler_params(interpret: bool):
+def _grad_compiler_params(interpret: bool, n_grid_dims: int = 1):
     """compiler_params for the grad kernels (None in interpret mode —
-    the Pallas interpreter takes no Mosaic params)."""
+    the Pallas interpreter takes no Mosaic params). Every grid dim is
+    pinned "arbitrary" (sequential): the minibatch frame axis
+    ACCUMULATES into shared SMEM rows (_loss_grad_kernel n_frames), so
+    a megacore backend must never split the grid across cores."""
     if interpret:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=GRAD_VMEM_LIMIT_BYTES)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=GRAD_VMEM_LIMIT_BYTES,
+        dimension_semantics=("arbitrary",) * n_grid_dims,
+    )
 
 
 def _loss_grad_kernel(
@@ -513,7 +519,7 @@ def _render_light_vjp_multi_jit(
             (n_scenes, n_tiles, n_params), jnp.float32
         ),
         interpret=interpret,
-        compiler_params=_grad_compiler_params(interpret),
+        compiler_params=_grad_compiler_params(interpret, 2),
     )(packed, seed_arr, tile0_arr, cot_tiles)
     per_scene = [
         _freeze_grads(rebuild(jnp.sum(grad_parts[i], axis=0)), cfg)
@@ -595,7 +601,7 @@ def sharded_render_light_vjp_pallas_multi(
                 vma=frozenset(axes),
             ),
             interpret=interpret,
-            compiler_params=_grad_compiler_params(interpret),
+            compiler_params=_grad_compiler_params(interpret, 2),
         )(packed, seed_arr, tile0_arr, cot_local)
         return jax.lax.psum(jnp.sum(grad_parts, axis=1), axes)
 
@@ -773,7 +779,7 @@ def _launch(packed, rebuild, seed, tile0, t_tiles, cfg, n_views, height,
             out_struct((n_tiles, n_params)),
         ),
         interpret=interpret,
-        compiler_params=_grad_compiler_params(interpret),
+        compiler_params=_grad_compiler_params(interpret, len(grid)),
     )(packed, seed_arr, tile0_arr, t_tiles)
 
 
