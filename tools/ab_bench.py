@@ -28,7 +28,12 @@ def make_fn(env: dict):
         del sys.modules[m]
     import bench
 
-    return bench.make_renderer(), bench.WIDTH * bench.HEIGHT * bench.SAMPLES
+    # BENCH_FRAMES_PER_LAUNCH applies here too (the heavy-scene fpl
+    # sweep in the README rides this): the returned fn renders that
+    # many whole frames per dispatch, so rays/launch scales with it.
+    fpl = int(os.environ.get("BENCH_FRAMES_PER_LAUNCH", 1))
+    fn = bench.make_renderer(frames_per_launch=fpl)
+    return fn, bench.WIDTH * bench.HEIGHT * bench.SAMPLES * fpl
 
 
 def main():
@@ -42,8 +47,9 @@ def main():
         specs.append((name, env))
 
     fns = {}
+    rays_of = {}
     for name, env in specs:
-        fns[name], rays = make_fn(env)
+        fns[name], rays_of[name] = make_fn(env)
         jax.block_until_ready(fns[name](np.uint32(1)))  # compile+warm
         print(f"compiled {name}", flush=True)
 
@@ -59,10 +65,11 @@ def main():
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / frames
             best[name] = min(best[name], dt)
-            print(f"round {r} {name}: {rays / dt / 1e6:.1f} Mray/s", flush=True)
+            print(f"round {r} {name}: "
+                  f"{rays_of[name] / dt / 1e6:.1f} Mray/s", flush=True)
     print("--- best ---")
     for name, _ in specs:
-        print(f"{name}: {rays / best[name] / 1e6:.1f} Mray/s")
+        print(f"{name}: {rays_of[name] / best[name] / 1e6:.1f} Mray/s")
 
 
 if __name__ == "__main__":
